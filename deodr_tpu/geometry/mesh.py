@@ -1,0 +1,228 @@
+"""Triangle mesh classes (topology static, geometry traced).
+
+API mirrors the reference (reference: deodr/triangulated_mesh.py:169-496) but
+geometry ops are pure jnp and differentiable by jax.grad; no ``*_b`` gradient
+buffers or ``store_backward`` tapes are needed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from deodr_tpu.geometry.adjacency import TriMeshAdjacencies
+
+
+class TriMesh:
+    """A triangulated mesh with static topology and (possibly traced) vertices."""
+
+    def __init__(self, faces, vertices, clockwise: bool = False, compute_adjacencies: bool = True):
+        faces = np.asarray(faces)
+        assert faces.ndim == 2 and faces.shape[1] == 3
+        assert np.issubdtype(faces.dtype, np.integer)
+        self._faces = faces.astype(np.int32)
+        self.nb_vertices = int(np.asarray(vertices).shape[0])
+        self.nb_faces = int(faces.shape[0])
+        self.clockwise = clockwise
+        self._face_normals = None
+        self._vertex_normals = None
+        self._adjacencies: Optional[TriMeshAdjacencies] = None
+        self.set_vertices(vertices)
+        if compute_adjacencies:
+            self.compute_adjacencies()
+
+    def compute_adjacencies(self) -> None:
+        self._adjacencies = TriMeshAdjacencies(self._faces, self.clockwise, nb_vertices=self.nb_vertices)
+        if self._adjacencies.is_closed:
+            self.check_orientation()
+
+    @property
+    def faces(self) -> np.ndarray:
+        return self._faces
+
+    @property
+    def vertices(self) -> jnp.ndarray:
+        return self._vertices
+
+    @property
+    def adjacencies(self) -> TriMeshAdjacencies:
+        if self._adjacencies is None:
+            self.compute_adjacencies()
+        return self._adjacencies
+
+    def set_vertices(self, vertices) -> None:
+        vertices = jnp.asarray(vertices)
+        assert vertices.ndim == 2 and vertices.shape[1] == 3
+        self._vertices = vertices
+        self._face_normals = None
+        self._vertex_normals = None
+
+    def compute_volume(self):
+        """Signed volume of a closed manifold surface
+        (reference: deodr/triangulated_mesh.py:227-248)."""
+        if not self.adjacencies.is_closed:
+            raise ValueError("The volume can only be computed for closed manifold surfaces")
+        tri = self._vertices[jnp.asarray(self._faces)]
+        dets = jnp.linalg.det(jnp.swapaxes(tri, 1, 2))
+        return (-1 if self.clockwise else 1) * jnp.sum(dets) / 6
+
+    def check_orientation(self) -> None:
+        if float(self.compute_volume()) < 0:
+            raise ValueError(
+                "The volume within the surface is negative. It seems that your faces "
+                "are not oriented correctly according to the clockwise flag"
+            )
+
+    @property
+    def face_normals(self) -> jnp.ndarray:
+        if self._face_normals is None:
+            self._face_normals = self.adjacencies.compute_face_normals(self._vertices)
+        return self._face_normals
+
+    @property
+    def vertex_normals(self) -> jnp.ndarray:
+        if self._vertex_normals is None:
+            self._vertex_normals = self.adjacencies.compute_vertex_normals(self.face_normals)
+        return self._vertex_normals
+
+    def compute_vertex_normals(self) -> jnp.ndarray:
+        return self.vertex_normals
+
+    def edge_on_silhouette(self, points_2d: jnp.ndarray) -> jnp.ndarray:
+        assert self.adjacencies.is_manifold
+        return self.adjacencies.edge_on_silhouette(points_2d)
+
+
+class ColoredTriMesh(TriMesh):
+    """TriMesh with per-vertex colors or a UV-mapped texture
+    (reference: deodr/triangulated_mesh.py:302-496)."""
+
+    def __init__(
+        self,
+        faces,
+        vertices,
+        clockwise: bool = False,
+        faces_uv=None,
+        uv=None,
+        texture=None,
+        colors=None,
+        nb_colors: Optional[int] = None,
+        compute_adjacencies: bool = True,
+    ):
+        super().__init__(faces, vertices, clockwise=clockwise, compute_adjacencies=compute_adjacencies)
+        self.faces_uv = None if faces_uv is None else np.asarray(faces_uv).astype(np.int32)
+        self.uv = None if uv is None else jnp.asarray(uv)
+        self.texture = None if texture is None else jnp.asarray(texture)
+        self.vertices_colors = None if colors is None else jnp.asarray(colors)
+        self.textured = self.texture is not None
+        if nb_colors is None:
+            if texture is None:
+                assert colors is not None, "Provide one of nb_colors, texture or colors"
+                nb_colors = int(self.vertices_colors.shape[1])
+            else:
+                nb_colors = int(self.texture.shape[2])
+        self.nb_colors = nb_colors
+
+    def set_vertices_colors(self, colors) -> None:
+        self.vertices_colors = jnp.asarray(colors)
+
+    def subdivise(self, n_iter: int) -> "ColoredTriMesh":
+        from deodr_tpu.geometry.subdivision import loop_subdivision
+
+        return loop_subdivision(self, n_iter)
+
+    @staticmethod
+    def from_trimesh(mesh, compute_adjacencies: bool = True) -> "ColoredTriMesh":
+        """Convert a trimesh.Trimesh, re-merging UV-split vertices so the 3D
+        surface stays manifold (reference: deodr/triangulated_mesh.py:368-439).
+        """
+        colors = None
+        uv = None
+        texture = None
+        if mesh.visual.kind == "vertex":
+            colors = np.asarray(mesh.visual.vertex_colors).copy()
+            if colors.ndim == 2 and colors.shape[1] == 4:
+                colors = colors[:, :3]
+            colors = colors.astype(np.float64) / 255
+        elif mesh.visual.kind == "face":
+            raise ValueError("per-face colors not supported (would need antialiasing at the seams)")
+        elif mesh.visual.kind == "texture" and mesh.visual.uv is not None:
+            texture = np.array(mesh.visual.material.image) / 255
+            if texture.ndim == 3 and texture.shape[2] == 4:
+                texture = texture[:, :, :3]
+            # OpenGL-style [0,1] uv with v up → integer-texel-center pixel uv
+            # with origin at the upper-left (reference conventions, readme.md).
+            uv = (
+                np.column_stack(
+                    (
+                        mesh.visual.uv[:, 0] * texture.shape[1],
+                        (1 - mesh.visual.uv[:, 1]) * texture.shape[0],
+                    )
+                )
+                - 0.5
+            )
+
+        vertices, return_index, inv_ids = np.unique(mesh.vertices, axis=0, return_index=True, return_inverse=True)
+        faces = inv_ids[mesh.faces].astype(np.int32)
+        if colors is not None:
+            colors2 = colors[return_index, :]
+            if np.any(colors != colors2[inv_ids, :]):
+                raise ValueError(
+                    "vertices at the same 3D location should have the same color "
+                    "for the rendering to be differentiable"
+                )
+        else:
+            colors2 = None
+        return ColoredTriMesh(
+            faces,
+            vertices,
+            clockwise=False,
+            faces_uv=np.asarray(mesh.faces),
+            uv=uv,
+            texture=texture,
+            colors=colors2,
+            compute_adjacencies=compute_adjacencies,
+        )
+
+    def to_trimesh(self):
+        """Export to trimesh (textured meshes only)
+        (reference: deodr/triangulated_mesh.py:441-478)."""
+        import PIL.Image
+        import trimesh
+
+        if self.vertices_colors is not None:
+            raise ValueError("Conversion to trimesh with per-vertex color not supported yet")
+        assert self.uv is not None and self.texture is not None, "Only meshes with texture supported."
+        v = np.asarray(self.vertices)
+        uv_np = np.asarray(self.uv)
+        tex_np = np.asarray(self.texture)
+        vt = np.column_stack(
+            (
+                (uv_np[:, 0] + 0.5) / tex_np.shape[1],
+                1 - ((uv_np[:, 1] + 0.5) / tex_np.shape[0]),
+            )
+        )
+        new_faces, mask_v, mask_vt = trimesh.visual.texture.unmerge_faces(self.faces, self.faces_uv)
+        new_vertices = v[mask_v].copy()
+        uv2 = vt[mask_vt].copy()
+        texture_uint8 = np.clip(tex_np * 255, 0, 255).astype(np.uint8)
+        if texture_uint8.shape[2] == 1:
+            texture_uint8 = texture_uint8.squeeze(axis=2)
+        material = trimesh.visual.material.SimpleMaterial(image=PIL.Image.fromarray(texture_uint8))
+        visual = trimesh.visual.texture.TextureVisuals(uv=uv2, material=material)
+        return trimesh.Trimesh(vertices=new_vertices, faces=new_faces, visual=visual)
+
+    @staticmethod
+    def load(filename: str, process: bool = False) -> "ColoredTriMesh":
+        try:
+            import trimesh
+        except ImportError:
+            if filename.lower().endswith(".obj"):
+                from deodr_tpu.io.obj import load_obj_mesh
+
+                return load_obj_mesh(filename)
+            raise
+        mesh_trimesh = trimesh.load_mesh(filename, process=process)
+        return ColoredTriMesh.from_trimesh(mesh_trimesh)

@@ -1,0 +1,134 @@
+"""Shared rasterization math: robust rational bounds, 3x3 inverses,
+edge equations, bilinear texture sampling.
+
+These reproduce, in vectorized jnp form, the per-triangle scalar helpers of
+the reference C++ core (reference: C++/DifferentiableRenderer.h:92-631) so
+that pixel coverage decisions match the reference scanline rasterizer
+exactly — including its behavior for degenerate (vertical/horizontal) edge
+equations via the ``floor_div``/``ceil_div`` zero-denominator semantics
+(reference: C++/DifferentiableRenderer.h:440-519).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def floor_div(num, den, lo, hi):
+    """min(hi, max(lo, floor(num/den))) with the reference's den==0 semantics:
+    returns hi when num <= 0 else lo (reference:
+    C++/DifferentiableRenderer.h:440-476)."""
+    q = jnp.floor(num / jnp.where(den == 0, 1.0, den))
+    q = jnp.clip(q, lo, hi)
+    q0 = jnp.where(num <= 0, hi, lo)
+    return jnp.where(den == 0, q0, q)
+
+
+def ceil_div(num, den, lo, hi):
+    """min(hi, max(lo, ceil(num/den))) with the reference's den==0 semantics:
+    returns hi when num < 0 else lo (reference:
+    C++/DifferentiableRenderer.h:478-519)."""
+    q = jnp.ceil(num / jnp.where(den == 0, 1.0, den))
+    q = jnp.clip(q, lo, hi)
+    q0 = jnp.where(num < 0, hi, lo)
+    return jnp.where(den == 0, q0, q)
+
+
+def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form cofactor inverse of (..., 3, 3) matrices.
+
+    Differentiable; jax.grad through it reproduces the reference's
+    hand-written ``inv_matrix_3x3_B`` adjoint (reference:
+    C++/DifferentiableRenderer.h:92-232).
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def edge_equations(v_xy: jnp.ndarray, local_clockwise: jnp.ndarray) -> jnp.ndarray:
+    """Per-triangle edge line equations a·x + b·y + c = 0 with the interior on
+    the positive side, for edges (v0,v1), (v1,v2), (v2,v0).
+
+    ``local_clockwise`` is the *screen-space* winding of each triangle (sign
+    of its raw cross product), independent of the scene's winding convention
+    (reference: C++/DifferentiableRenderer.h:373-398, :655).
+
+    v_xy: (..., 3, 2) → returns (..., 3, 3).
+    """
+    v1 = v_xy
+    v2 = jnp.roll(v_xy, -1, axis=-2)  # (v1, v2, v0)
+    sign = jnp.where(local_clockwise[..., None], 1.0, -1.0)
+    a = sign * (v1[..., 1] - v2[..., 1])
+    b = sign * (v2[..., 0] - v1[..., 0])
+    c = -0.5 * (a * (v1[..., 0] + v2[..., 0]) + b * (v1[..., 1] + v2[..., 1]))
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def signed_area(v_xy: jnp.ndarray, clockwise: bool) -> jnp.ndarray:
+    """0.5 · cross(v1-v0, v2-v0), positive for front-facing triangles under
+    the scene's winding convention (reference:
+    C++/DifferentiableRenderer.h:391-399)."""
+    u = v_xy[..., 1, :] - v_xy[..., 0, :]
+    v = v_xy[..., 2, :] - v_xy[..., 0, :]
+    raw = 0.5 * (u[..., 0] * v[..., 1] - v[..., 0] * u[..., 1])
+    return raw if clockwise else -raw
+
+
+def bilinear_sample(texture: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear texture fetch with integer texel centers and border clamp.
+
+    ``p[..., 0]`` indexes columns (u), ``p[..., 1]`` rows (v); the sample at
+    (0.0, 0.0) is exactly texture[0, 0] (reference conventions: readme.md
+    "Texel coordinates"; reference: C++/DifferentiableRenderer.h:521-560).
+    The gradient w.r.t. clamped coordinates is zero outside the texture
+    domain, matching the reference adjoint's ``out`` guard (reference:
+    C++/DifferentiableRenderer.h:626-630). Unlike the reference adjoint —
+    which *overwrites* per-texel gradients across pixels (reference:
+    C++/DifferentiableRenderer.h:621-624 uses ``=`` instead of ``+=``) —
+    jax.grad of this function correctly accumulates texture gradients.
+    """
+    th, tw = texture.shape[0], texture.shape[1]
+    u = p[..., 0]
+    v = p[..., 1]
+    fu = jnp.floor(u)
+    fv = jnp.floor(v)
+    eu = jnp.where(fu < 0, 0.0, jnp.where(fu > tw - 2, 1.0, u - fu))
+    ev = jnp.where(fv < 0, 0.0, jnp.where(fv > th - 2, 1.0, v - fv))
+    iu = jnp.clip(fu, 0, tw - 2).astype(jnp.int32)
+    iv = jnp.clip(fv, 0, th - 2).astype(jnp.int32)
+    t00 = texture[iv, iu]
+    t10 = texture[iv, iu + 1]
+    t01 = texture[iv + 1, iu]
+    t11 = texture[iv + 1, iu + 1]
+    w_eu = eu[..., None]
+    w_ev = ev[..., None]
+    return ((1 - w_eu) * t00 + w_eu * t10) * (1 - w_ev) + ((1 - w_eu) * t01 + w_eu * t11) * w_ev
+
+
+def barycentric_matrices(v_xy: jnp.ndarray) -> jnp.ndarray:
+    """inv([[x0,x1,x2],[y0,y1,y2],[1,1,1]]): maps homogeneous pixel coords
+    (x, y, 1) to barycentric coordinates (reference:
+    C++/DifferentiableRenderer.h:645-662)."""
+    ones = jnp.ones_like(v_xy[..., 0])
+    m = jnp.stack([v_xy[..., 0], v_xy[..., 1], ones], axis=-2)
+    return inv3x3(m)

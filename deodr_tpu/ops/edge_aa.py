@@ -1,0 +1,224 @@
+"""Discontinuity-edge-overdraw antialiasing pass.
+
+Along each silhouette edge of a front-facing triangle, a band of width
+``sigma`` outside the edge is blended over the framebuffer:
+
+    out = T · in + (1 − T) · A
+
+with T the linear transparency ramp (signed distance to the edge / sigma)
+and A the edge color interpolated between the two edge endpoints. Bands are
+composited back-to-front (painter's algorithm) and only over strictly
+farther geometry (z-test, no z write), exactly like the reference's edge
+pass (reference: C++/DifferentiableRenderer.h:1366-1460, :1541-1649,
+:2839-2900). The ``error`` mode blends the per-pixel squared residual
+against an observed image instead (reference:
+C++/DifferentiableRenderer.h:2370-2478).
+
+TPU-first design notes:
+
+* the sequential painter blend is a ``lax.scan`` over edges in depth order,
+  each step a masked, fully vectorized update of the framebuffer;
+* the backward pass is a **custom VJP** that runs the scan in reverse and
+  *un-blends* the framebuffer in place — in = (out − (1−T)·A) / T — so no
+  per-edge forward intermediates are stored (O(1) memory in the number of
+  edges). This is the same reconstruct-by-division trick as the reference
+  adjoint (reference: C++/DifferentiableRenderer.h:1738, :2015), but each
+  step's parameter gradients are obtained by jax.vjp of the step function
+  instead of hand-written chain rules.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deodr_tpu.ops.common import bilinear_sample, floor_div, inv3x3
+
+
+class EdgeData(NamedTuple):
+    """Per-edge arrays, sorted back-to-front (leading axis = edge)."""
+
+    v0: jnp.ndarray  # (E, 2) first endpoint (x, y), pixel-offset applied
+    v1: jnp.ndarray  # (E, 2) second endpoint
+    z: jnp.ndarray  # (E, 2) endpoint depths
+    attrs: jnp.ndarray  # (E, 2, C) endpoint colors
+    uvs: jnp.ndarray  # (E, 2, 2) endpoint texture coordinates
+    shades: jnp.ndarray  # (E, 2) endpoint shades
+    active: jnp.ndarray  # (E,) bool
+    use_texture: jnp.ndarray  # (E,) bool
+
+
+class EdgeAAConfig(NamedTuple):
+    """Static configuration (hashable, used as nondiff argument)."""
+
+    height: int
+    width: int
+    sigma: float
+    clockwise: bool
+    perspective_correct: bool
+    error_mode: bool
+    has_texture: bool
+
+
+def _edge_stencil(cfg: EdgeAAConfig, v0, v1, dtype):
+    """Band coverage and the affine maps (x,y,1) → (b0, b1, T) for one edge.
+
+    Equivalent of ``get_edge_stencil_equations`` +
+    ``get_edge_xrange_from_ineq`` (reference:
+    C++/DifferentiableRenderer.h:1366-1460, :2620-2648).
+    Returns (cov (H, W) bool, bary_coef (2, 3), t_coef (3,)).
+    """
+    height, width = cfg.height, cfg.width
+    if cfg.clockwise:
+        n = jnp.stack([v0[1] - v1[1], v1[0] - v0[0]])
+    else:
+        n = jnp.stack([v1[1] - v0[1], v0[0] - v1[0]])
+    n = n / jnp.sqrt(n[0] ** 2 + n[1] ** 2)
+    m = jnp.array(
+        [
+            [v0[0], v1[0], n[0]],
+            [v0[1], v1[1], n[1]],
+            [1.0, 1.0, 0.0],
+        ],
+        dtype=dtype,
+    )
+    inv = inv3x3(m)
+    bary_coef = inv[:2]  # rows mapping (x, y, 1) → b0, b1
+    t_coef = inv[2] / cfg.sigma
+
+    # four band inequalities: b0 > 0, b1 > 0, T > 0, 1 − T > 0
+    ineq = jnp.stack(
+        [
+            bary_coef[0],
+            bary_coef[1],
+            t_coef,
+            jnp.stack([-t_coef[0], -t_coef[1], 1.0 - t_coef[2]]),
+        ]
+    )  # (4, 3)
+
+    yy = jnp.arange(height, dtype=dtype)
+    xx = jnp.arange(width, dtype=dtype)
+
+    y_lo = jnp.maximum(jnp.floor(jnp.minimum(v0[1], v1[1]) - cfg.sigma) + 1, 0.0)
+    y_hi = jnp.minimum(jnp.floor(jnp.maximum(v0[1], v1[1]) + cfg.sigma), float(height - 1))
+
+    x_begin = jnp.zeros((height,), dtype)
+    x_end = jnp.full((height,), float(width - 1), dtype)
+    # sequential constraint refinement, matching the reference's loop order
+    for k in range(4):
+        a, b, c = ineq[k, 0], ineq[k, 1], ineq[k, 2]
+        num = -(b * yy + c)
+        fd = floor_div(num, a, x_begin - 1, x_end + 1)
+        x_end = jnp.where(a < 0, jnp.minimum(x_end, fd), x_end)
+        x_begin = jnp.where(a < 0, x_begin, jnp.maximum(x_begin, 1 + fd))
+
+    row_ok = (yy >= y_lo) & (yy <= y_hi)
+    cov = row_ok[:, None] & (xx[None, :] >= x_begin[:, None]) & (xx[None, :] <= x_end[:, None])
+    return cov, bary_coef, t_coef
+
+
+def _edge_fragment(cfg: EdgeAAConfig, edge: EdgeData, z_buffer, texture, obs):
+    """Per-pixel blend mask, transparency T and edge value A for one edge."""
+    height, width = cfg.height, cfg.width
+    dtype = edge.v0.dtype
+    cov, bary_coef, t_coef = _edge_stencil(cfg, edge.v0, edge.v1, dtype)
+
+    yy = jnp.arange(height, dtype=dtype)[:, None]
+    xx = jnp.arange(width, dtype=dtype)[None, :]
+    b0 = bary_coef[0, 0] * xx + bary_coef[0, 1] * yy + bary_coef[0, 2]
+    b1 = bary_coef[1, 0] * xx + bary_coef[1, 1] * yy + bary_coef[1, 2]
+    t = t_coef[0] * xx + t_coef[1] * yy + t_coef[2]
+
+    if cfg.perspective_correct:
+        inv_z = b0 / edge.z[0] + b1 / edge.z[1]
+        z = 1.0 / inv_z
+    else:
+        z = b0 * edge.z[0] + b1 * edge.z[1]
+    z = jax.lax.stop_gradient(z)
+
+    mask = cov & (z < z_buffer) & edge.active & jnp.isfinite(t)
+    t_safe = jnp.where(mask, t, 0.5)
+    b0 = jnp.where(mask, b0, 0.0)
+    b1 = jnp.where(mask, b1, 0.0)
+
+    def interp(a0, a1):
+        if cfg.perspective_correct:
+            zz = jax.lax.stop_gradient(z)
+            return (b0[..., None] * a0 / edge.z[0] + b1[..., None] * a1 / edge.z[1]) * zz[..., None]
+        return b0[..., None] * a0 + b1[..., None] * a1
+
+    a_px = interp(edge.attrs[0], edge.attrs[1])  # (H, W, C)
+    if cfg.has_texture:
+        uv_px = interp(edge.uvs[0], edge.uvs[1])
+        lum = b0 * edge.shades[0] + b1 * edge.shades[1]
+        if cfg.perspective_correct:
+            lum = (b0 * edge.shades[0] / edge.z[0] + b1 * edge.shades[1] / edge.z[1]) * z
+        tex_px = bilinear_sample(texture, uv_px) * lum[..., None]
+        a_px = jnp.where(edge.use_texture, tex_px, a_px)
+    a_px = jnp.where(mask[..., None], a_px, 0.0)
+    return mask, t_safe, a_px
+
+
+def _blend_step(cfg: EdgeAAConfig, buffer, edge: EdgeData, z_buffer, texture, obs):
+    """One painter's-algorithm blend: buffer ← T·buffer + (1−T)·value."""
+    mask, t, a_px = _edge_fragment(cfg, edge, z_buffer, texture, obs)
+    if cfg.error_mode:
+        err = jnp.sum((a_px - jnp.where(mask[..., None], obs, 0.0)) ** 2, axis=-1)
+        return jnp.where(mask, t * buffer + (1 - t) * err, buffer)
+    return jnp.where(mask[..., None], t[..., None] * buffer + (1 - t[..., None]) * a_px, buffer)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def edge_overdraw_pass(cfg: EdgeAAConfig, buffer0, edges: EdgeData, texture, z_buffer, obs):
+    """Composite all silhouette-edge bands back-to-front over ``buffer0``.
+
+    buffer0: (H, W, C) image (or (H, W) squared-residual buffer in error
+    mode). Differentiable in buffer0, edges and texture; z_buffer and obs
+    are treated as constants (matching the reference adjoint's contract).
+    """
+
+    def step(buf, edge):
+        return _blend_step(cfg, buf, edge, z_buffer, texture, obs), None
+
+    final, _ = jax.lax.scan(step, buffer0, edges)
+    return final
+
+
+def _edge_pass_fwd(cfg, buffer0, edges, texture, z_buffer, obs):
+    final = edge_overdraw_pass(cfg, buffer0, edges, texture, z_buffer, obs)
+    return final, (final, edges, texture, z_buffer, obs)
+
+
+def _edge_pass_bwd(cfg, residuals, g):
+    final, edges, texture, z_buffer, obs = residuals
+    tex_zero = jnp.zeros_like(texture)
+
+    def rev_step(carry, edge):
+        buf_after, g_buf, tex_b = carry
+        mask, t, a_px = _edge_fragment(cfg, edge, z_buffer, texture, obs)
+        # reconstruct the pre-blend buffer by inverting the blend
+        # (reference: C++/DifferentiableRenderer.h:1738)
+        if cfg.error_mode:
+            err = jnp.sum((a_px - jnp.where(mask[..., None], obs, 0.0)) ** 2, axis=-1)
+            buf_before = jnp.where(mask, (buf_after - (1 - t) * err) / t, buf_after)
+        else:
+            tm = t[..., None]
+            buf_before = jnp.where(mask[..., None], (buf_after - (1 - tm) * a_px) / tm, buf_after)
+
+        def f(buf, e, tex):
+            return _blend_step(cfg, buf, e, z_buffer, tex, obs)
+
+        _, vjp_fn = jax.vjp(f, buf_before, edge, texture)
+        g_before, edge_b, tex_inc = vjp_fn(g_buf)
+        return (buf_before, g_before, tex_b + tex_inc), edge_b
+
+    (buf0, g0, tex_b), edges_b = jax.lax.scan(
+        rev_step, (final, g, tex_zero), edges, reverse=True
+    )
+    return g0, edges_b, tex_b, jnp.zeros_like(z_buffer), jnp.zeros_like(obs)
+
+
+edge_overdraw_pass.defvjp(_edge_pass_fwd, _edge_pass_bwd)
