@@ -11,6 +11,7 @@ and no ``store_backward`` tape.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, Iterable, Optional, Tuple, Union
 import warnings
 
@@ -20,7 +21,25 @@ import jax.numpy as jnp
 
 from deodr_tpu.camera import Camera
 from deodr_tpu.geometry.mesh import ColoredTriMesh
-from deodr_tpu.ops.render import SceneBuffers, render_scene_jit
+from deodr_tpu.ops.render import SceneBuffers, render_scene, render_scene_jit
+
+
+def _jit_scene2d_grads_factory():
+    @partial(jax.jit, static_argnames=("sigma", "antialiase_error", "aa_edge_capacity"))
+    def grads(buffers, sigma, antialiase_error, obs, cotangent, aa_edge_capacity):
+        def f(ij, colors, uv, shade, texture):
+            b = dataclasses.replace(buffers, ij=ij, colors=colors, uv=uv, shade=shade, texture=texture)
+            image, _, err = render_scene(
+                b, sigma, antialiase_error=antialiase_error, obs=obs, aa_edge_capacity=aa_edge_capacity
+            )
+            return err if antialiase_error else image
+        _, vjp = jax.vjp(f, buffers.ij, buffers.colors, buffers.uv, buffers.shade, buffers.texture)
+        return vjp(cotangent)
+
+    return grads
+
+
+_scene2d_grads = _jit_scene2d_grads_factory()
 
 
 def _as_f(x):
@@ -138,33 +157,21 @@ class Scene2D:
 
     def render(self, sigma: float = 1):
         """Returns (image, z_buffer)."""
-
         cap = self._aa_capacity(sigma)
-
-        def f(ij, colors, uv, shade, texture):
-            buffers = self._buffers(ij, colors, uv, shade, texture)
-            image, z_buffer, _ = render_scene_jit(buffers, sigma, aa_edge_capacity=cap)
-            return image, z_buffer
-
-        (image, z_buffer), vjp = jax.vjp(f, *self._diff_inputs(), has_aux=False)
-        self._store = ("image", vjp)
+        buffers = self._buffers(*self._diff_inputs())
+        image, z_buffer, _ = render_scene_jit(buffers, float(sigma), aa_edge_capacity=cap)
+        self._store = ("image", float(sigma), cap, buffers, None)
         return np.asarray(image), np.asarray(z_buffer)
 
     def render_error(self, obs, sigma: float = 1):
         """Returns (image, z_buffer, err_buffer) in antialiased-residual mode."""
         obs_j = _as_f(obs)
-
         cap = self._aa_capacity(sigma)
-
-        def f(ij, colors, uv, shade, texture):
-            buffers = self._buffers(ij, colors, uv, shade, texture)
-            image, z_buffer, err_buffer = render_scene_jit(
-                buffers, sigma, antialiase_error=True, obs=obs_j, aa_edge_capacity=cap
-            )
-            return err_buffer, (image, z_buffer)
-
-        err_buffer, vjp, (image, z_buffer) = jax.vjp(f, *self._diff_inputs(), has_aux=True)
-        self._store = ("error", vjp)
+        buffers = self._buffers(*self._diff_inputs())
+        image, z_buffer, err_buffer = render_scene_jit(
+            buffers, float(sigma), antialiase_error=True, obs=obs_j, aa_edge_capacity=cap
+        )
+        self._store = ("error", float(sigma), cap, buffers, obs_j)
         return np.asarray(image), np.asarray(z_buffer), np.asarray(err_buffer)
 
     def _check_backward_supported(self):
@@ -176,27 +183,28 @@ class Scene2D:
                 " to get valid gradient through edge anti-aliasing."
             )
 
-    def _accumulate(self, vjp, cotangent):
-        ij_b, colors_b, uv_b, shade_b, texture_b = vjp(cotangent)
+    def _accumulate_grads(self, grads):
+        ij_b, colors_b, uv_b, shade_b, texture_b = grads
         self.ij_b += np.asarray(ij_b)
         self.colors_b += np.asarray(colors_b)
         self.uv_b += np.asarray(uv_b)
         self.shade_b += np.asarray(shade_b)
-        if self.texture.size > 0:
+        if self.texture.size > 0 and texture_b is not None:
             self.texture_b += np.asarray(texture_b)
 
     def render_backward(self, image_b, make_copies: bool = True) -> None:
         self._check_backward_supported()
         assert self._store is not None and self._store[0] == "image", "call render first"
-        _, vjp = self._store
-        zeros_zb = jnp.zeros((self.height, self.width), dtype=jnp.result_type(float))
-        self._accumulate(vjp, (_as_f(image_b), zeros_zb))
+        _, sigma, cap, buffers, _ = self._store
+        grads = _scene2d_grads(buffers, sigma, False, None, _as_f(image_b), cap)
+        self._accumulate_grads(grads)
 
     def render_error_backward(self, err_buffer_b, make_copies: bool = True) -> None:
         self._check_backward_supported()
         assert self._store is not None and self._store[0] == "error", "call render_error first"
-        _, vjp = self._store
-        self._accumulate(vjp, _as_f(err_buffer_b))
+        _, sigma, cap, buffers, obs_j = self._store
+        grads = _scene2d_grads(buffers, sigma, True, obs_j, _as_f(err_buffer_b), cap)
+        self._accumulate_grads(grads)
 
     def render_compare_and_backward(
         self,
@@ -397,52 +405,92 @@ class Scene3D:
         bucket = int(2 ** np.ceil(np.log2(max(count, 8))))
         return min(3 * mesh.nb_faces, bucket)
 
-    def _diff_render(self, camera, backface_culling, depth_only_scale=None):
-        """jax.vjp over the pure render; returns (image, z_buffer, vjp)."""
+    def _camera_key(self, camera: Camera):
+        dist = b"" if camera.distortion is None else camera.distortion.tobytes()
+        return (camera.extrinsic.tobytes(), camera.intrinsic.tobytes(), dist, camera.height, camera.width)
+
+    def _get_cached_fn(self, key, make):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(make())
+            cache[key] = fn
+        return fn
+
+    def _diff_inputs(self, depth_only: bool):
         mesh = self.mesh
-        has_uv = mesh.uv is not None and depth_only_scale is None
-        vertices = _as_f(mesh.vertices)
-        colors = _as_f(mesh.vertices_colors) if mesh.vertices_colors is not None else None
-        light_dir = _as_f(self.light_directional) if self.light_directional is not None else None
-        light_amb = jnp.asarray(float(self.light_ambient))
-        uv = _as_f(mesh.uv) if has_uv else None
-        texture = _as_f(mesh.texture) if has_uv else None
+        has_uv = mesh.uv is not None and not depth_only
+        return (
+            _as_f(mesh.vertices),
+            _as_f(mesh.vertices_colors) if mesh.vertices_colors is not None else None,
+            _as_f(self.light_directional) if self.light_directional is not None else None,
+            jnp.asarray(float(self.light_ambient)),
+            _as_f(mesh.uv) if has_uv else None,
+            _as_f(mesh.texture) if has_uv else None,
+        )
 
+    def _render_config(self, camera, backface_culling, depth_only_scale):
         cap = self._aa_capacity(camera)
+        inputs = self._diff_inputs(depth_only_scale is not None)
+        key = (
+            self._camera_key(camera),
+            id(self.mesh),
+            self.mesh.nb_vertices,
+            self.mesh.nb_faces,
+            float(self.sigma),
+            cap,
+            backface_culling,
+            depth_only_scale,
+            tuple(None if x is None else x.shape for x in inputs),
+            None if self.background_image is None else self.background_image.tobytes(),
+            None if self.background_color is None else self.background_color.tobytes(),
+        )
 
-        def f(vertices, colors, light_dir, light_amb, uv, texture):
-            buffers, _ = self._build_buffers(
-                camera,
-                vertices,
-                colors,
-                light_dir,
-                light_amb,
-                uv,
-                texture,
-                backface_culling,
-                depth_only_scale,
-            )
-            image, z_buffer, _ = render_scene_jit(buffers, float(self.sigma), aa_edge_capacity=cap)
-            return image, z_buffer
+        def make_forward():
+            def f(vertices, colors, light_dir, light_amb, uv, texture):
+                buffers, _ = self._build_buffers(
+                    camera, vertices, colors, light_dir, light_amb, uv, texture,
+                    backface_culling, depth_only_scale,
+                )
+                image, z_buffer, _ = render_scene(buffers, float(self.sigma), aa_edge_capacity=cap)
+                return image, z_buffer
 
-        (image, z_buffer), vjp = jax.vjp(f, vertices, colors, light_dir, light_amb, uv, texture)
-        return image, z_buffer, vjp
+            return f
+
+        return key, inputs, make_forward
 
     def render(self, camera: Camera, return_z_buffer: bool = False, backface_culling: bool = True):
         assert self.mesh is not None, "You need to provide a mesh first."
         if (self.background_image is None) == (self.background_color is None):
             raise BaseException("You need to provide either a background image or background color")
-        image, z_buffer, vjp = self._diff_render(camera, backface_culling)
-        self._store = {"mode": "render", "vjp": vjp, "shape": image.shape}
+        key, inputs, make_forward = self._render_config(camera, backface_culling, None)
+        fwd = self._get_cached_fn(("fwd",) + key, make_forward)
+        image, z_buffer = fwd(*inputs)
+        self._store = {"mode": "render", "key": key, "inputs": inputs, "make": make_forward, "shape": image.shape}
         return (np.asarray(image), np.asarray(z_buffer)) if return_z_buffer else np.asarray(image)
 
     def render_backward(self, image_b) -> None:
         if self.perspective_correct:
             raise BaseException("perspective_correct not supported yet for gradient back propagation")
         assert self._store is not None and self._store["mode"] in ("render", "render_depth")
-        vjp = self._store["vjp"]
-        zeros_zb = jnp.zeros(self._store["shape"][:2], dtype=jnp.result_type(float))
-        vertices_b, colors_b, light_dir_b, light_amb_b, uv_b, texture_b = vjp((_as_f(image_b), zeros_zb))
+        key = self._store["key"]
+        inputs = self._store["inputs"]
+        make_forward = self._store["make"]
+
+        def make_bwd():
+            f = make_forward()
+
+            def g(vertices, colors, light_dir, light_amb, uv, texture, cotangent):
+                def image_only(*args):
+                    return f(*args)[0]
+
+                _, vjp = jax.vjp(image_only, vertices, colors, light_dir, light_amb, uv, texture)
+                return vjp(cotangent)
+
+            return g
+
+        bwd = self._get_cached_fn(("bwd",) + key, make_bwd)
+        vertices_b, colors_b, light_dir_b, light_amb_b, uv_b, texture_b = bwd(*inputs, _as_f(image_b))
         mesh = self.mesh
         mesh._vertices_b = np.asarray(vertices_b)
         mesh.vertices_colors_b = None if colors_b is None else np.asarray(colors_b)
@@ -455,8 +503,10 @@ class Scene3D:
 
     def render_depth(self, camera: Camera, depth_scale: float = 1, backface_culling: bool = True):
         assert self.mesh is not None
-        image, z_buffer, vjp = self._diff_render(camera, backface_culling, depth_only_scale=depth_scale)
-        self._store = {"mode": "render_depth", "vjp": vjp, "shape": image.shape}
+        key, inputs, make_forward = self._render_config(camera, backface_culling, float(depth_scale))
+        fwd = self._get_cached_fn(("fwd",) + key, make_forward)
+        image, _ = fwd(*inputs)
+        self._store = {"mode": "render_depth", "key": key, "inputs": inputs, "make": make_forward, "shape": image.shape}
         return np.asarray(image)
 
     def render_depth_backward(self, depth_b) -> None:
