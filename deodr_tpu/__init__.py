@@ -31,6 +31,7 @@ from deodr_tpu.geometry.energy import LaplacianRigidEnergy
 from deodr_tpu.geometry.mesh import ColoredTriMesh, TriMesh, TriMeshAdjacencies
 from deodr_tpu.geometry.subdivision import loop_subdivision
 from deodr_tpu.io.obj import read_obj, save_obj
+from deodr_tpu.mesh_fitter import MeshDepthFitter, MeshRGBFitterWithPose, MeshRGBFitterWithPoseMultiFrame
 from deodr_tpu.scene import Scene2D, Scene3D
 
 data_path = _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "data"))
@@ -48,6 +49,9 @@ __all__ = [
     "loop_subdivision",
     "read_obj",
     "save_obj",
+    "MeshDepthFitter",
+    "MeshRGBFitterWithPose",
+    "MeshRGBFitterWithPoseMultiFrame",
     "Scene2D",
     "Scene3D",
     "data_path",

@@ -1,0 +1,631 @@
+"""Mesh fitting by analysis-by-synthesis (depth / RGB / multi-view).
+
+API and optimizer semantics mirror the reference fitters exactly — same
+heavy-ball update rule, same per-parameter step factors and clamps, same
+quaternion-tangent-space gradient trick (reference: deodr/mesh_fitter.py).
+The difference is architectural: each fitter builds ONE pure jitted
+energy-and-gradient function (rendering included), so a whole optimization
+step is a single compiled XLA computation instead of the reference's
+Python-chained forward/backward passes.
+"""
+
+from __future__ import annotations
+
+import copy
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.spatial.transform
+import jax
+import jax.numpy as jnp
+
+from deodr_tpu.camera import Camera
+from deodr_tpu.geometry.energy import LaplacianRigidEnergy
+from deodr_tpu.geometry.mesh import ColoredTriMesh
+from deodr_tpu.geometry.transforms import normalize, qrot
+from deodr_tpu.ops.render import SceneBuffers, render_scene
+
+
+def mult_and_clamp(x, a, t):
+    return np.minimum(np.maximum(x * a, -t), t)
+
+
+def _next_pow2_bucket(count: int, lo: int = 8) -> int:
+    return int(2 ** np.ceil(np.log2(max(count, lo))))
+
+
+class _FitterRenderCore:
+    """Shared jitted render-energy machinery for the fitters."""
+
+    def __init__(self, mesh: ColoredTriMesh, sigma: float = 1.0):
+        self.mesh = mesh
+        self.sigma = float(sigma)
+        self._jit_cache: Dict = {}
+
+    def silhouette_capacity(self, camera: Camera, vertices) -> Optional[int]:
+        if self.sigma <= 0:
+            return None
+        pts, _ = camera.project_points(jax.lax.stop_gradient(jnp.asarray(vertices)))
+        flags = self.mesh.edge_on_silhouette(pts)
+        visible = self.mesh.adjacencies.face_visible(pts)
+        count = int(jnp.sum(flags & visible[:, None]))
+        return min(3 * self.mesh.nb_faces, _next_pow2_bucket(count))
+
+    def cached(self, key, make):
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(make())
+            self._jit_cache[key] = fn
+        return fn
+
+
+class MeshDepthFitter:
+    """Fit a deformable mesh to a depth image
+    (reference: deodr/mesh_fitter.py:20-184)."""
+
+    def __init__(
+        self,
+        vertices,
+        faces,
+        euler_init,
+        translation_init,
+        cregu: float = 2000,
+        inertia: float = 0.96,
+        damping: float = 0.05,
+    ):
+        self.cregu = cregu
+        self.inertia = inertia
+        self.damping = damping
+        self.step_factor_vertices = 0.0005
+        self.step_max_vertices = 1
+        self.step_factor_quaternion = 0.00006
+        self.step_max_quaternion = 0.1
+        self.step_factor_translation = 0.00005
+        self.step_max_translation = 0.1
+
+        vertices = np.asarray(vertices, dtype=np.float64)
+        self.mesh = ColoredTriMesh(np.asarray(faces), vertices=vertices, colors=np.zeros((vertices.shape[0], 0)))
+        object_center = vertices.mean(axis=0)
+        object_radius = np.max(np.std(vertices, axis=0))
+        self.camera_center = object_center + np.array([-0.5, 0, 5]) * object_radius
+
+        self.rigid_energy = LaplacianRigidEnergy(self.mesh, vertices, cregu)
+        self.vertices_init = copy.copy(vertices)
+        self.core = _FitterRenderCore(self.mesh, sigma=1.0)
+        self.set_mesh_transform_init(euler=euler_init, translation=translation_init)
+        self.reset()
+
+    def set_mesh_transform_init(self, euler, translation) -> None:
+        self.transform_quaternion_init = scipy.spatial.transform.Rotation.from_euler("zyx", euler).as_quat()
+        self.transform_translation_init = np.asarray(translation, dtype=np.float64)
+
+    def reset(self) -> None:
+        self.vertices = copy.copy(self.vertices_init)
+        self.speed_vertices = np.zeros(self.vertices_init.shape)
+        self.transform_quaternion = copy.copy(self.transform_quaternion_init)
+        self.transform_translation = copy.copy(self.transform_translation_init)
+        self.speed_translation = np.zeros(3)
+        self.speed_quaternion = np.zeros(4)
+
+    def set_max_depth(self, max_depth: float) -> None:
+        self.max_depth = max_depth
+        self.background_color = np.array([max_depth], dtype=np.float64)
+
+    def set_depth_scale(self, depth_scale: float) -> None:
+        self.depth_scale = depth_scale
+
+    def set_image(self, mesh_image, focal: Optional[float] = None, distortion=None) -> None:
+        self.width = mesh_image.shape[1]
+        self.height = mesh_image.shape[0]
+        assert mesh_image.ndim == 2
+        self.mesh_image = np.asarray(mesh_image, dtype=np.float64)
+        if focal is None:
+            focal = 2 * self.width
+        rot = np.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]])
+        trans = -rot.T.dot(self.camera_center)
+        intrinsic = np.array([[focal, 0, self.width / 2], [0, focal, self.height / 2], [0, 0, 1]])
+        extrinsic = np.column_stack((rot, trans))
+        self.camera = Camera(
+            extrinsic=extrinsic, intrinsic=intrinsic, distortion=distortion, height=self.height, width=self.width
+        )
+        self.iter = 0
+
+    def _transformed_vertices(self):
+        q_n = normalize(jnp.asarray(self.transform_quaternion))
+        return qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(self.transform_translation)
+
+    def _make_energy(self, cap):
+        mesh = self.mesh
+        camera = self.camera
+        sigma = self.core.sigma
+        depth_scale = self.depth_scale
+        max_depth = self.max_depth
+        obs = jnp.asarray(self.mesh_image)
+        background_color = jnp.asarray(self.background_color)
+
+        def energy(vertices, quaternion, translation):
+            q_n = normalize(quaternion)
+            vt = qrot(q_n, vertices) + translation
+            points_2d, depths = camera.project_points(vt)
+            if sigma > 0:
+                edgeflags = jax.lax.stop_gradient(mesh.edge_on_silhouette(points_2d))
+            else:
+                edgeflags = jnp.zeros((mesh.nb_faces, 3), bool)
+            nbv = mesh.nb_vertices
+            dtype = points_2d.dtype
+            buffers = SceneBuffers(
+                faces=jnp.asarray(mesh.faces),
+                faces_uv=jnp.asarray(mesh.faces),
+                ij=points_2d,
+                depths=depths,
+                uv=jnp.zeros((nbv, 2), dtype),
+                shade=jnp.zeros((nbv,), dtype),
+                colors=depths[:, None] * depth_scale,
+                edgeflags=edgeflags,
+                textured=jnp.zeros((mesh.nb_faces,), bool),
+                shaded=jnp.zeros((mesh.nb_faces,), bool),
+                texture=None,
+                background_image=None,
+                background_color=background_color,
+                height=camera.height,
+                width=camera.width,
+                clockwise=mesh.clockwise,
+                backface_culling=True,
+                strict_edge=True,
+                perspective_correct=False,
+                integer_pixel_centers=True,
+            )
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap)
+            depth_clipped = jnp.clip(image, 0, max_depth)
+            diff_image = jnp.sum((depth_clipped - obs[:, :, None]) ** 2, axis=2)
+            return jnp.sum(diff_image), (depth_clipped, diff_image)
+
+        def energy_and_grads(vertices, quaternion, translation):
+            (e, aux), grads = jax.value_and_grad(energy, argnums=(0, 1, 2), has_aux=True)(
+                vertices, quaternion, translation
+            )
+            return e, aux, grads
+
+        return energy_and_grads
+
+    def step(self) -> Tuple[float, np.ndarray, np.ndarray]:
+        self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]
+        vt = self._transformed_vertices()
+        cap = self.core.silhouette_capacity(self.camera, vt)
+        fn = self.core.cached(("depth", cap, self.width, self.height), lambda: self._make_energy(cap))
+        energy_data, (depth, diff_image), grads = fn(
+            jnp.asarray(self.vertices), jnp.asarray(self.transform_quaternion), jnp.asarray(self.transform_translation)
+        )
+        vertices_b, quaternion_b, translation_b = [np.asarray(g) for g in grads]
+        energy_data = float(energy_data)
+
+        vertices_b = vertices_b - np.mean(vertices_b, axis=0)[None, :]
+        e_rigid, grad_rigidity, _ = self.rigid_energy.evaluate(jnp.asarray(self.vertices))
+        energy = energy_data + float(e_rigid)
+        print("Energy=%f : EData=%f E_rigid=%f" % (energy, energy_data, float(e_rigid)))
+
+        grad = vertices_b + np.asarray(grad_rigidity)
+
+        inertia = self.inertia
+        step_vertices = mult_and_clamp(-grad, self.step_factor_vertices, self.step_max_vertices)
+        self.speed_vertices = (1 - self.damping) * (self.speed_vertices * inertia + (1 - inertia) * step_vertices)
+        self.vertices = self.vertices + self.speed_vertices
+        step_quaternion = mult_and_clamp(-quaternion_b, self.step_factor_quaternion, self.step_max_quaternion)
+        self.speed_quaternion = (1 - self.damping) * (self.speed_quaternion * inertia + (1 - inertia) * step_quaternion)
+        self.transform_quaternion = self.transform_quaternion + self.speed_quaternion
+        self.transform_quaternion = self.transform_quaternion / np.linalg.norm(self.transform_quaternion)
+        step_translation = mult_and_clamp(-translation_b, self.step_factor_translation, self.step_max_translation)
+        self.speed_translation = (1 - self.damping) * (self.speed_translation * inertia + (1 - inertia) * step_translation)
+        self.transform_translation = self.transform_translation + self.speed_translation
+
+        self.iter += 1
+        return energy, np.asarray(depth)[:, :, 0], np.asarray(diff_image)
+
+
+class MeshRGBFitterWithPose:
+    """Fit a deformable mesh with global color and lights to an RGB image
+    (reference: deodr/mesh_fitter.py:187-375)."""
+
+    def __init__(
+        self,
+        vertices,
+        faces,
+        euler_init,
+        translation_init,
+        default_color,
+        default_light_directional,
+        default_light_ambient,
+        cregu: float = 2000,
+        inertia: float = 0.96,
+        damping: float = 0.05,
+        update_lights: bool = True,
+        update_color: bool = True,
+    ):
+        self.cregu = cregu
+        self.inertia = inertia
+        self.damping = damping
+        self.step_factor_vertices = 0.0005
+        self.step_max_vertices = 0.5
+        self.step_factor_quaternion = 0.00006
+        self.step_max_quaternion = 0.05
+        self.step_factor_translation = 0.00005
+        self.step_max_translation = 0.1
+
+        vertices = np.asarray(vertices, dtype=np.float64)
+        self.default_color = np.asarray(default_color, dtype=np.float64)
+        self.default_light_directional = np.asarray(default_light_directional, dtype=np.float64)
+        self.default_light_ambient = default_light_ambient
+        self.update_lights = update_lights
+        self.update_color = update_color
+        self.mesh = ColoredTriMesh(np.asarray(faces).copy(), vertices=vertices, nb_colors=3)
+        object_center = vertices.mean(axis=0) + np.asarray(translation_init)
+        object_radius = np.max(np.std(vertices, axis=0))
+        self.camera_center = object_center + np.array([0, 0, 9]) * object_radius
+
+        self.rigid_energy = LaplacianRigidEnergy(self.mesh, vertices, cregu)
+        self.vertices_init = copy.copy(vertices)
+        self.core = _FitterRenderCore(self.mesh, sigma=1.0)
+        self.set_mesh_transform_init(euler=euler_init, translation=translation_init)
+        self.reset()
+
+    def set_background_color(self, background_color) -> None:
+        self.background_color = np.asarray(background_color, dtype=np.float64)
+
+    def set_mesh_transform_init(self, euler, translation) -> None:
+        self.transform_quaternion_init = scipy.spatial.transform.Rotation.from_euler("zyx", euler).as_quat()
+        self.transform_translation_init = np.asarray(translation, dtype=np.float64)
+
+    def reset(self) -> None:
+        self.vertices = copy.copy(self.vertices_init)
+        self.speed_vertices = np.zeros(self.vertices.shape)
+        self.transform_quaternion = copy.copy(self.transform_quaternion_init)
+        self.transform_translation = copy.copy(self.transform_translation_init)
+        self.speed_translation = np.zeros(3)
+        self.speed_quaternion = np.zeros(4)
+        self.mesh_color = copy.copy(self.default_color)
+        self.light_directional = copy.copy(self.default_light_directional)
+        self.light_ambient = self.default_light_ambient
+        self.speed_light_directional = np.zeros(self.light_directional.shape)
+        self.speed_light_ambient = 0.0
+        self.speed_mesh_color = np.zeros(self.mesh_color.shape)
+
+    def set_image(self, mesh_image, focal: Optional[float] = None, distortion=None) -> None:
+        self.width = mesh_image.shape[1]
+        self.height = mesh_image.shape[0]
+        assert mesh_image.ndim == 3
+        self.mesh_image = np.asarray(mesh_image, dtype=np.float64)
+        if focal is None:
+            focal = 2 * self.width
+        rot = np.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]])
+        trans = -rot.T.dot(self.camera_center)
+        intrinsic = np.array([[focal, 0, self.width / 2], [0, focal, self.height / 2], [0, 0, 1]])
+        extrinsic = np.column_stack((rot, trans))
+        self.camera = Camera(
+            extrinsic=extrinsic, intrinsic=intrinsic, distortion=distortion, width=self.width, height=self.height
+        )
+        self.iter = 0
+
+    def _make_energy(self, cap):
+        mesh = self.mesh
+        camera = self.camera
+        sigma = self.core.sigma
+        obs = jnp.asarray(self.mesh_image)
+        background_color = jnp.asarray(self.background_color)
+        adj = mesh.adjacencies
+
+        def energy(vertices, quaternion, translation, mesh_color, light_directional, light_ambient):
+            q_n = normalize(quaternion)
+            vt = qrot(q_n, vertices) + translation
+            points_2d, depths = camera.project_points(vt)
+            if sigma > 0:
+                edgeflags = jax.lax.stop_gradient(mesh.edge_on_silhouette(points_2d))
+            else:
+                edgeflags = jnp.zeros((mesh.nb_faces, 3), bool)
+            normals = adj.compute_vertex_normals(adj.compute_face_normals(vt))
+            lum = jnp.maximum(0.0, -jnp.sum(normals * light_directional, axis=1)) + light_ambient
+            vertices_colors = jnp.tile(mesh_color[None, :], (mesh.nb_vertices, 1))
+            colors = vertices_colors * lum[:, None]
+            nbv = mesh.nb_vertices
+            dtype = points_2d.dtype
+            buffers = SceneBuffers(
+                faces=jnp.asarray(mesh.faces),
+                faces_uv=jnp.asarray(mesh.faces),
+                ij=points_2d,
+                depths=depths,
+                uv=jnp.zeros((nbv, 2), dtype),
+                shade=jnp.zeros((nbv,), dtype),
+                colors=colors,
+                edgeflags=edgeflags,
+                textured=jnp.zeros((mesh.nb_faces,), bool),
+                shaded=jnp.zeros((mesh.nb_faces,), bool),
+                texture=None,
+                background_image=None,
+                background_color=background_color,
+                height=camera.height,
+                width=camera.width,
+                clockwise=mesh.clockwise,
+                backface_culling=True,
+                strict_edge=True,
+                perspective_correct=False,
+                integer_pixel_centers=True,
+            )
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap)
+            diff_image = jnp.sum((image - obs) ** 2, axis=2)
+            return jnp.sum(diff_image), (image, diff_image)
+
+        def energy_and_grads(*params):
+            (e, aux), grads = jax.value_and_grad(energy, argnums=tuple(range(6)), has_aux=True)(*params)
+            return e, aux, grads
+
+        return energy_and_grads
+
+    def step(self) -> Tuple[float, np.ndarray, np.ndarray]:
+        self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]
+        q_n = normalize(jnp.asarray(self.transform_quaternion))
+        vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(self.transform_translation)
+        cap = self.core.silhouette_capacity(self.camera, vt)
+        fn = self.core.cached(("rgb", cap, self.width, self.height), lambda: self._make_energy(cap))
+        energy_data, (image, diff_image), grads = fn(
+            jnp.asarray(self.vertices),
+            jnp.asarray(self.transform_quaternion),
+            jnp.asarray(self.transform_translation),
+            jnp.asarray(self.mesh_color),
+            jnp.asarray(self.light_directional),
+            jnp.asarray(float(self.light_ambient)),
+        )
+        vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = [
+            np.asarray(g) for g in grads
+        ]
+        energy_data = float(energy_data)
+
+        e_rigid, grad_rigidity, _ = self.rigid_energy.evaluate(jnp.asarray(self.vertices))
+        energy = energy_data + float(e_rigid)
+        print("Energy=%f : EData=%f E_rigid=%f" % (energy, energy_data, float(e_rigid)))
+
+        vertices_b = vertices_b - np.mean(vertices_b, axis=0)[None, :]
+        grad = vertices_b + np.asarray(grad_rigidity)
+
+        inertia = self.inertia
+        step_vertices = mult_and_clamp(-grad, self.step_factor_vertices, self.step_max_vertices)
+        self.speed_vertices = (1 - self.damping) * (self.speed_vertices * inertia + (1 - inertia) * step_vertices)
+        self.vertices = self.vertices + self.speed_vertices
+        step_quaternion = mult_and_clamp(-quaternion_b, self.step_factor_quaternion, self.step_max_quaternion)
+        self.speed_quaternion = (1 - self.damping) * (self.speed_quaternion * inertia + (1 - inertia) * step_quaternion)
+        self.transform_quaternion = self.transform_quaternion + self.speed_quaternion
+        self.transform_quaternion = self.transform_quaternion / np.linalg.norm(self.transform_quaternion)
+        step_translation = mult_and_clamp(-translation_b, self.step_factor_translation, self.step_max_translation)
+        self.speed_translation = (1 - self.damping) * (self.speed_translation * inertia + (1 - inertia) * step_translation)
+        self.transform_translation = self.transform_translation + self.speed_translation
+
+        step_l = -light_directional_b * 0.0001
+        self.speed_light_directional = (1 - self.damping) * (self.speed_light_directional * inertia + (1 - inertia) * step_l)
+        self.light_directional = self.light_directional + self.speed_light_directional
+        step_a = -light_ambient_b * 0.0001
+        self.speed_light_ambient = (1 - self.damping) * (self.speed_light_ambient * inertia + (1 - inertia) * step_a)
+        self.light_ambient = self.light_ambient + self.speed_light_ambient
+        step_c = -mesh_color_b * 0.00001
+        self.speed_mesh_color = (1 - self.damping) * (self.speed_mesh_color * inertia + (1 - inertia) * step_c)
+        self.mesh_color = self.mesh_color + self.speed_mesh_color
+
+        self.iter += 1
+        return energy, np.asarray(image), np.asarray(diff_image)
+
+
+class MeshRGBFitterWithPoseMultiFrame:
+    """Fit a deformable mesh to multiple RGB views with per-frame pose and
+    shared vertices/color/lights (reference: deodr/mesh_fitter.py:378-632).
+
+    Note: the reference's data term indexes ``image[idframe]`` — a single
+    image *row* — when computing the per-frame residual (reference:
+    deodr/mesh_fitter.py:539-543), which appears to be a bug; this
+    implementation uses the full image residual per frame.
+    """
+
+    def __init__(
+        self,
+        vertices,
+        faces,
+        euler_init,
+        translation_init,
+        default_color,
+        default_light_directional,
+        default_light_ambient,
+        cregu: float = 2000,
+        cdata: float = 1,
+        inertia: float = 0.97,
+        damping: float = 0.15,
+        update_lights: bool = True,
+        update_color: bool = True,
+    ):
+        self.cregu = cregu
+        self.cdata = cdata
+        self.inertia = inertia
+        self.damping = damping
+        self.step_factor_vertices = 0.0005
+        self.step_max_vertices = 0.5
+        self.step_factor_quaternion = 0.00005
+        self.step_max_quaternion = 0.05
+        self.step_factor_translation = 0.00004
+        self.step_max_translation = 0.1
+
+        vertices = np.asarray(vertices, dtype=np.float64)
+        self.default_color = np.asarray(default_color, dtype=np.float64)
+        self.default_light_directional = np.asarray(default_light_directional, dtype=np.float64)
+        self.default_light_ambient = default_light_ambient
+        self.mesh = ColoredTriMesh(np.asarray(faces), vertices, nb_colors=3)
+        object_center = vertices.mean(axis=0)
+        self.object_radius = np.max(np.std(vertices, axis=0))
+        self.camera_center = object_center + np.array([0, 0, 6]) * self.object_radius
+
+        self.rigid_energy = LaplacianRigidEnergy(self.mesh, vertices, cregu)
+        self.vertices_init = copy.copy(vertices)
+        self.core = _FitterRenderCore(self.mesh, sigma=1.0)
+        self.set_mesh_transform_init(euler=euler_init, translation=translation_init)
+        self.reset()
+
+    def set_background_color(self, background_color) -> None:
+        self.background_color = np.asarray(background_color, dtype=np.float64)
+
+    def set_mesh_transform_init(self, euler, translation) -> None:
+        self.transform_quaternion_init = scipy.spatial.transform.Rotation.from_euler("zyx", euler).as_quat()
+        self.transform_translation_init = np.asarray(translation, dtype=np.float64)
+
+    def reset(self) -> None:
+        self.vertices = copy.copy(self.vertices_init)
+        self.speed_vertices = np.zeros(self.vertices.shape)
+        self.transform_quaternion = copy.copy(self.transform_quaternion_init)
+        self.transform_translation = copy.copy(self.transform_translation_init)
+        self.speed_translation = np.zeros(self.transform_translation.shape)
+        self.speed_quaternion = np.zeros(self.transform_quaternion.shape)
+        self.mesh_color = copy.copy(self.default_color)
+        self.light_directional = copy.copy(self.default_light_directional)
+        self.light_ambient = self.default_light_ambient
+        self.speed_light_directional = np.zeros(self.light_directional.shape)
+        self.speed_light_ambient = 0.0
+        self.speed_mesh_color = np.zeros(self.mesh_color.shape)
+
+    def set_images(self, mesh_images: List, focal: Optional[float] = None) -> None:
+        self.width = mesh_images[0].shape[1]
+        self.height = mesh_images[0].shape[0]
+        assert mesh_images[0].ndim == 3
+        self.mesh_images = [np.asarray(im, dtype=np.float64) for im in mesh_images]
+        if focal is None:
+            focal = 2 * self.width
+        rot = np.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]])
+        trans = -rot.T.dot(self.camera_center)
+        intrinsic = np.array([[focal, 0, self.width / 2], [0, focal, self.height / 2], [0, 0, 1]])
+        extrinsic = np.column_stack((rot, trans))
+        self.camera = Camera(
+            extrinsic=extrinsic, intrinsic=intrinsic, width=self.width, height=self.height
+        )
+        self.iter = 0
+
+    def _make_energy(self, cap, idframe):
+        mesh = self.mesh
+        camera = self.camera
+        sigma = self.core.sigma
+        obs = jnp.asarray(self.mesh_images[idframe])
+        background_color = jnp.asarray(self.background_color)
+        adj = mesh.adjacencies
+        coef_data = self.cdata / self.nb_frames
+
+        def energy(vertices, quaternion, translation, mesh_color, light_directional, light_ambient):
+            q_n = normalize(quaternion)
+            vt = qrot(q_n, vertices) + translation
+            points_2d, depths = camera.project_points(vt)
+            if sigma > 0:
+                edgeflags = jax.lax.stop_gradient(mesh.edge_on_silhouette(points_2d))
+            else:
+                edgeflags = jnp.zeros((mesh.nb_faces, 3), bool)
+            normals = adj.compute_vertex_normals(adj.compute_face_normals(vt))
+            lum = jnp.maximum(0.0, -jnp.sum(normals * light_directional, axis=1)) + light_ambient
+            vertices_colors = jnp.tile(mesh_color[None, :], (mesh.nb_vertices, 1))
+            colors = vertices_colors * lum[:, None]
+            nbv = mesh.nb_vertices
+            dtype = points_2d.dtype
+            buffers = SceneBuffers(
+                faces=jnp.asarray(mesh.faces),
+                faces_uv=jnp.asarray(mesh.faces),
+                ij=points_2d,
+                depths=depths,
+                uv=jnp.zeros((nbv, 2), dtype),
+                shade=jnp.zeros((nbv,), dtype),
+                colors=colors,
+                edgeflags=edgeflags,
+                textured=jnp.zeros((mesh.nb_faces,), bool),
+                shaded=jnp.zeros((mesh.nb_faces,), bool),
+                texture=None,
+                background_image=None,
+                background_color=background_color,
+                height=camera.height,
+                width=camera.width,
+                clockwise=mesh.clockwise,
+                backface_culling=True,
+                strict_edge=True,
+                perspective_correct=False,
+                integer_pixel_centers=True,
+            )
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap)
+            diff_image = jnp.sum((image - obs) ** 2, axis=2)
+            return coef_data * jnp.sum(diff_image), (image, diff_image)
+
+        def energy_and_grads(*params):
+            (e, aux), grads = jax.value_and_grad(energy, argnums=tuple(range(6)), has_aux=True)(*params)
+            return e, aux, grads
+
+        return energy_and_grads
+
+    def energy_data(self, vertices):
+        self.vertices = vertices
+        images, diff_images, energy_datas = [], [], []
+        self._vertices_b = np.zeros(self.vertices.shape)
+        self.transform_quaternion_b = np.zeros(self.transform_quaternion.shape)
+        self.transform_translation_b = np.zeros(self.transform_translation.shape)
+        self.mesh_color_b = np.zeros(self.mesh_color.shape)
+        self.light_directional_b = np.zeros(self.light_directional.shape)
+        self.light_ambient_b = 0.0
+        for idframe in range(self.nb_frames):
+            q = self.transform_quaternion[idframe]
+            t = self.transform_translation[idframe]
+            q_n = normalize(jnp.asarray(q))
+            vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(t)
+            cap = self.core.silhouette_capacity(self.camera, vt)
+            fn = self.core.cached(("multi", idframe, cap, self.width, self.height), lambda: self._make_energy(cap, idframe))
+            e, (image, diff_image), grads = fn(
+                jnp.asarray(self.vertices),
+                jnp.asarray(q),
+                jnp.asarray(t),
+                jnp.asarray(self.mesh_color),
+                jnp.asarray(self.light_directional),
+                jnp.asarray(float(self.light_ambient)),
+            )
+            vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = [
+                np.asarray(g) for g in grads
+            ]
+            self._vertices_b += vertices_b
+            self.transform_quaternion_b[idframe] += quaternion_b
+            self.transform_translation_b[idframe] += translation_b
+            self.mesh_color_b += mesh_color_b
+            self.light_directional_b += light_directional_b
+            self.light_ambient_b += float(light_ambient_b)
+            images.append(np.asarray(image))
+            diff_images.append(np.asarray(diff_image))
+            energy_datas.append(float(e))
+        return float(np.sum(energy_datas)), images, diff_images
+
+    def step(self, check_gradient: bool = False):
+        self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]
+        self.nb_frames = len(self.mesh_images)
+        energy_data, images, diff_images = self.energy_data(self.vertices)
+        e_rigid, grad_rigidity, _ = self.rigid_energy.evaluate(jnp.asarray(self.vertices))
+        energy = energy_data + float(e_rigid)
+        print(f"iter {self.iter} Energy={energy} : EData={energy_data} E_rigid={float(e_rigid)}")
+
+        if self.iter < 500:
+            self._vertices_b = self._vertices_b - np.mean(self._vertices_b, axis=0)[None, :]
+        grad = self._vertices_b + np.asarray(grad_rigidity)
+
+        inertia = self.inertia
+        step_vertices = mult_and_clamp(-grad, self.step_factor_vertices, self.step_max_vertices)
+        self.speed_vertices = (1 - self.damping) * (self.speed_vertices * inertia + (1 - inertia) * step_vertices)
+        self.vertices = self.vertices + self.speed_vertices
+        step_quaternion = mult_and_clamp(-self.transform_quaternion_b, self.step_factor_quaternion, self.step_max_quaternion)
+        self.speed_quaternion = (1 - self.damping) * (self.speed_quaternion * inertia + (1 - inertia) * step_quaternion)
+        self.transform_quaternion = self.transform_quaternion + self.speed_quaternion
+        self.transform_quaternion = self.transform_quaternion / np.linalg.norm(self.transform_quaternion)
+        step_translation = mult_and_clamp(-self.transform_translation_b, self.step_factor_translation, self.step_max_translation)
+        self.speed_translation = (1 - self.damping) * (self.speed_translation * inertia + (1 - inertia) * step_translation)
+        self.transform_translation = self.transform_translation + self.speed_translation
+        step_l = -self.light_directional_b * 0.0001
+        self.speed_light_directional = (1 - self.damping) * (self.speed_light_directional * inertia + (1 - inertia) * step_l)
+        self.light_directional = self.light_directional + self.speed_light_directional
+        step_a = -self.light_ambient_b * 0.0001
+        self.speed_light_ambient = (1 - self.damping) * (self.speed_light_ambient * inertia + (1 - inertia) * step_a)
+        self.light_ambient = self.light_ambient + self.speed_light_ambient
+        step_c = -self.mesh_color_b * 0.00001
+        self.speed_mesh_color = (1 - self.damping) * (self.speed_mesh_color * inertia + (1 - inertia) * step_c)
+        self.mesh_color = self.mesh_color + self.speed_mesh_color
+
+        self.iter += 1
+        return energy, images, diff_images
