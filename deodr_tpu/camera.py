@@ -15,6 +15,35 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def project_points_arrays(extrinsic, intrinsic, distortion, points_3d):
+    """Functional camera projection: world → distorted pixel coords + depths.
+
+    Pure jnp on explicit arrays so it composes with vmap (batched cameras for
+    multi-view) and shard_map. Math identical to ``Camera.project_points``
+    (reference: deodr/differentiable_renderer.py:341-389).
+
+    extrinsic: (3, 4); intrinsic: (3, 3); distortion: None or (5,) array.
+    """
+    r = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    p_camera = points_3d @ r.T + t
+    depths = p_camera[:, 2]
+    projected = p_camera[:, :2] / depths[:, None]
+    if distortion is not None:
+        k1, k2, p1, p2, k3 = (distortion[i] for i in range(5))
+        x = projected[:, 0]
+        y = projected[:, 1]
+        x2 = x**2
+        y2 = y**2
+        r2 = x2 + y2
+        radial = 1 + k1 * r2 + k2 * r2**2 + k3 * r2**3
+        tang_x = 2 * p1 * x * y + p2 * (r2 + 2 * x2)
+        tang_y = p1 * (r2 + 2 * y2) + 2 * p2 * x * y
+        projected = jnp.column_stack((x * radial + tang_x, y * radial + tang_y))
+    ij = projected @ intrinsic[:2, :2].T + intrinsic[:2, 2]
+    return ij, depths
+
+
 class Camera:
     """extrinsic: (3,4) [R|t] world→camera; intrinsic: (3,3) upper-triangular;
     distortion: None or (k1, k2, p1, p2, k3) as in OpenCV."""
@@ -79,21 +108,14 @@ class Camera:
         compatibility and ignored — gradients come from jax.grad
         (reference: deodr/differentiable_renderer.py:341-389).
         """
-        p_camera = self.world_to_camera(points_3d)
-        depths = p_camera[:, 2]
-        projected = p_camera[:, :2] / depths[:, None]
-        if self.distortion is not None:
-            k1, k2, p1, p2, k3 = [float(d) for d in self.distortion]
-            x = projected[:, 0]
-            y = projected[:, 1]
-            x2 = x**2
-            y2 = y**2
-            r2 = x2 + y2
-            radial = 1 + k1 * r2 + k2 * r2**2 + k3 * r2**3
-            tang_x = 2 * p1 * x * y + p2 * (r2 + 2 * x2)
-            tang_y = p1 * (r2 + 2 * y2) + 2 * p2 * x * y
-            projected = jnp.column_stack((x * radial + tang_x, y * radial + tang_y))
-        ij = self.left_mul_intrinsic(projected)
+        points_3d = jnp.asarray(points_3d)
+        dist = None if self.distortion is None else jnp.asarray(self.distortion, points_3d.dtype)
+        ij, depths = project_points_arrays(
+            jnp.asarray(self.extrinsic, points_3d.dtype),
+            jnp.asarray(self.intrinsic, points_3d.dtype),
+            dist,
+            points_3d,
+        )
         if return_depths:
             return ij, depths
         return ij

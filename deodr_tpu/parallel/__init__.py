@@ -1,0 +1,9 @@
+"""Scale-out: device meshes, tile-sharded rendering, view-parallel fitting."""
+
+from deodr_tpu.parallel.sharding import (
+    make_device_mesh,
+    multiview_train_step,
+    shard_render_scene,
+)
+
+__all__ = ["make_device_mesh", "multiview_train_step", "shard_render_scene"]
