@@ -102,11 +102,16 @@ def render_scene(
     obs: Optional[jnp.ndarray] = None,
     chunk: int = 64,
     aa_edge_capacity: Optional[int] = None,
+    tiling=None,
 ):
     """Render a 2.5D scene.
 
     Returns (image, z_buffer, err_buffer); ``err_buffer`` is None unless
     ``antialiase_error``. ``sigma`` and ``antialiase_error`` are static.
+
+    ``tiling`` (an :class:`deodr_tpu.ops.tiled.TilingConfig` or None)
+    selects the binned/tiled rasterization path — same per-pixel math,
+    O(H·W·bin-occupancy) instead of O(H·W·T) work.
 
     In error mode (the paper's "antialiase the residual"), the err_buffer is
     initialized with the per-pixel squared difference between the
@@ -128,16 +133,30 @@ def render_scene(
     v_xy = ij_off[scene.faces]
     v_z = scene.depths[scene.faces]
 
-    winner, z_buffer = find_winners(
-        v_xy,
-        v_z,
-        draw,
-        width,
-        height,
-        strict_edge=scene.strict_edge,
-        perspective_correct=scene.perspective_correct,
-        chunk=chunk,
-    )
+    if tiling is not None:
+        from deodr_tpu.ops.tiled import find_winners_tiled
+
+        winner, z_buffer, _ = find_winners_tiled(
+            v_xy,
+            v_z,
+            draw,
+            width,
+            height,
+            scene.strict_edge,
+            scene.perspective_correct,
+            tiling,
+        )
+    else:
+        winner, z_buffer = find_winners(
+            v_xy,
+            v_z,
+            draw,
+            width,
+            height,
+            strict_edge=scene.strict_edge,
+            perspective_correct=scene.perspective_correct,
+            chunk=chunk,
+        )
     winner = jax.lax.stop_gradient(winner)
     z_buffer = jax.lax.stop_gradient(z_buffer)
 
@@ -181,7 +200,14 @@ def render_scene(
         texture = scene.texture
         if texture is None:
             texture = jnp.zeros((1, 1, scene.colors.shape[1]), scene.colors.dtype)
-        if antialiase_error:
+        if tiling is not None:
+            from deodr_tpu.ops.tiled import edge_pass_tiled
+
+            if antialiase_error:
+                err_buffer, _ = edge_pass_tiled(cfg, err_buffer, edges, texture, z_buffer, obs, tiling)
+            else:
+                image, _ = edge_pass_tiled(cfg, image, edges, texture, z_buffer, None, tiling)
+        elif antialiase_error:
             err_buffer = edge_overdraw_pass(cfg, err_buffer, edges, texture, z_buffer, obs)
         else:
             obs_dummy = jnp.zeros((1, 1, 1), image.dtype) if obs is None else obs
@@ -250,7 +276,7 @@ def _build_edge_data(
     return edges
 
 
-@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity"))
+@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling"))
 def render_scene_jit(
     scene: SceneBuffers,
     sigma: float,
@@ -258,6 +284,7 @@ def render_scene_jit(
     obs: Optional[jnp.ndarray] = None,
     chunk: int = 64,
     aa_edge_capacity: Optional[int] = None,
+    tiling=None,
 ):
     """Compile-cached entry point for :func:`render_scene`."""
     return render_scene(
@@ -267,4 +294,5 @@ def render_scene_jit(
         obs=obs,
         chunk=chunk,
         aa_edge_capacity=aa_edge_capacity,
+        tiling=tiling,
     )

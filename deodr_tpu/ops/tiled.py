@@ -1,0 +1,223 @@
+"""Tiled / binned rasterization.
+
+The brute-force path in :mod:`deodr_tpu.ops.raster` evaluates every triangle
+against every pixel — simple and exact, but O(T·H·W). This module adds the
+scalable path: the framebuffer is split into fixed-size tiles, triangles and
+silhouette edges are *binned* to the tiles their bounding boxes overlap
+(padded per-tile index lists with a static capacity, the standard
+static-shape answer to data-dependent bin sizes on TPU), and the per-tile
+work is vmapped. Per-pixel math is identical to the brute-force path, so
+tiled and untiled renders agree exactly; only the amount of wasted coverage
+work changes (O(H·W·K) with K = per-tile bin occupancy, instead of
+O(H·W·T)).
+
+This replaces the role of the reference's per-triangle scanline bounding
+(reference: C++/DifferentiableRenderer.h:864-906) at the tile granularity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from deodr_tpu.ops.raster import TriangleRowSetup, triangle_row_setup
+from deodr_tpu.ops.common import ceil_div, floor_div
+from deodr_tpu.ops.edge_aa import EdgeAAConfig, EdgeData, edge_overdraw_pass
+
+
+class TilingConfig(NamedTuple):
+    """Static tiling parameters. Capacities bound per-tile bin sizes; bins
+    overflowing their capacity drop the lowest-priority entries (use
+    :func:`suggest_tiling` or generous capacities)."""
+
+    tile_h: int = 64
+    tile_w: int = 64
+    triangle_capacity: int = 64
+    edge_capacity: int = 32
+
+
+def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, capacity):
+    """Bin items (given clamped pixel bboxes) to tiles.
+
+    Returns slots (n_tiles, K) int32 indices and slot_valid (n_tiles, K).
+    Items keep their original relative order inside each bin (stable
+    argsort), which the edge pass relies on for depth ordering.
+    """
+    tx0 = jnp.floor_divide(x_lo.astype(jnp.int32), tile_w)
+    tx1 = jnp.floor_divide(x_hi.astype(jnp.int32), tile_w)
+    ty0 = jnp.floor_divide(y_lo.astype(jnp.int32), tile_h)
+    ty1 = jnp.floor_divide(y_hi.astype(jnp.int32), tile_h)
+    nonempty = valid & (x_lo <= x_hi) & (y_lo <= y_hi)
+
+    tys = jnp.arange(n_ty)[:, None, None]
+    txs = jnp.arange(n_tx)[None, :, None]
+    mask = (
+        nonempty[None, None, :]
+        & (tys >= ty0[None, None, :])
+        & (tys <= ty1[None, None, :])
+        & (txs >= tx0[None, None, :])
+        & (txs <= tx1[None, None, :])
+    )  # (n_ty, n_tx, N)
+    mask = mask.reshape(n_ty * n_tx, -1)
+    order = jnp.argsort(~mask, axis=1, stable=True)[:, :capacity].astype(jnp.int32)
+    slot_valid = jnp.take_along_axis(mask, order, axis=1)
+    counts = jnp.sum(mask, axis=1)
+    return order, slot_valid, counts
+
+
+def find_winners_tiled(
+    v_xy: jnp.ndarray,
+    v_z: jnp.ndarray,
+    draw: jnp.ndarray,
+    width: int,
+    height: int,
+    strict_edge: bool,
+    perspective_correct: bool,
+    tiling: TilingConfig,
+):
+    """Tiled equivalent of :func:`deodr_tpu.ops.raster.find_winners`.
+
+    Returns (winner (H, W) int32, z_buffer (H, W), max_bin_count) — the last
+    one lets callers check for capacity overflow.
+    """
+    v_xy = jax.lax.stop_gradient(v_xy)
+    v_z = jax.lax.stop_gradient(v_z)
+    dtype = v_xy.dtype
+    th, tw = tiling.tile_h, tiling.tile_w
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+
+    setup = triangle_row_setup(v_xy, v_z, draw, width, height, strict_edge, perspective_correct)
+    y_lo_all = setup.y_lo[:, 0]
+    y_hi_all = setup.y_hi[:, 1]
+    slots, slot_valid, counts = _bin_to_tiles(
+        setup.x_lo, setup.x_hi, y_lo_all, y_hi_all, setup.valid, n_ty, n_tx, th, tw, tiling.triangle_capacity
+    )
+
+    big = jnp.asarray(jnp.inf, dtype)
+    tile_ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
+
+    def one_tile(tile_id, tri_slots, tri_slot_valid):
+        ty = tile_id // n_tx
+        tx = tile_id % n_tx
+        yy = (ty * th + jnp.arange(th)).astype(dtype)  # (th,)
+        xx = (tx * tw + jnp.arange(tw)).astype(dtype)  # (tw,)
+
+        s: TriangleRowSetup = jax.tree.map(lambda a: a[tri_slots], setup)
+        valid = s.valid & tri_slot_valid
+
+        lo = (s.x_lo - 1)[:, None, None]
+        hi = s.x_hi[:, None, None]
+        num_l = -(s.left_eq[:, :, None, 1] * yy[None, None, :] + s.left_eq[:, :, None, 2])  # (K, 2, th)
+        num_r = -(s.right_eq[:, :, None, 1] * yy[None, None, :] + s.right_eq[:, :, None, 2])
+        if strict_edge:
+            t_l = 1 + floor_div(num_l, s.left_eq[:, :, None, 0], lo, hi)
+        else:
+            t_l = ceil_div(num_l, s.left_eq[:, :, None, 0], lo, hi)
+        t_r = floor_div(num_r, s.right_eq[:, :, None, 0], lo, hi)
+        x_begin = jnp.maximum(s.x_lo[:, None, None], t_l)
+        x_end = jnp.minimum(s.x_hi[:, None, None], t_r)
+        row_ok = (yy[None, None, :] >= s.y_lo[:, :, None]) & (yy[None, None, :] <= s.y_hi[:, :, None])
+        cov = jnp.any(
+            row_ok[:, :, :, None]
+            & (xx[None, None, None, :] >= x_begin[:, :, :, None])
+            & (xx[None, None, None, :] <= x_end[:, :, :, None]),
+            axis=1,
+        )  # (K, th, tw)
+        zlin = s.z_coef[:, None, None, 0] * xx[None, None, :] + (
+            s.z_coef[:, None, 1:2] * yy[None, :, None] + s.z_coef[:, None, 2:3]
+        )
+        z = 1.0 / zlin if perspective_correct else zlin
+        z_eff = jnp.where(cov & valid[:, None, None] & jnp.isfinite(z), z, big)
+        best_slot = jnp.argmin(z_eff, axis=0)  # first = lowest slot = lowest global index
+        best_z = jnp.take_along_axis(z_eff, best_slot[None], axis=0)[0]
+        winner = jnp.where(best_z < big, tri_slots[best_slot], -1)
+        return winner, best_z
+
+    winner_t, z_t = jax.vmap(one_tile)(tile_ids, slots, slot_valid)  # (n_tiles, th, tw)
+    winner = winner_t.reshape(n_ty, n_tx, th, tw).transpose(0, 2, 1, 3).reshape(n_ty * th, n_tx * tw)
+    z_buffer = z_t.reshape(n_ty, n_tx, th, tw).transpose(0, 2, 1, 3).reshape(n_ty * th, n_tx * tw)
+    return winner[:height, :width], z_buffer[:height, :width], jnp.max(counts)
+
+
+def edge_pass_tiled(
+    cfg: EdgeAAConfig,
+    buffer: jnp.ndarray,
+    edges: EdgeData,
+    texture: jnp.ndarray,
+    z_buffer: jnp.ndarray,
+    obs,
+    tiling: TilingConfig,
+):
+    """Tiled edge-overdraw compositing: bin edge bands to tiles, vmap the
+    sequential painter blend per tile. Per-bin depth order is preserved by
+    the stable binning, so results match the untiled pass exactly.
+
+    Returns (buffer, max_bin_count).
+    """
+    height, width = cfg.height, cfg.width
+    th, tw = tiling.tile_h, tiling.tile_w
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    sigma = cfg.sigma
+
+    vx = jnp.stack([edges.v0[:, 0], edges.v1[:, 0]], axis=1)
+    vy = jnp.stack([edges.v0[:, 1], edges.v1[:, 1]], axis=1)
+    x_lo = jnp.clip(jnp.floor(jnp.min(vx, axis=1) - sigma), 0, width - 1)
+    x_hi = jnp.clip(jnp.floor(jnp.max(vx, axis=1) + sigma) + 1, 0, width - 1)
+    y_lo = jnp.clip(jnp.floor(jnp.min(vy, axis=1) - sigma) + 1, 0, height - 1)
+    y_hi = jnp.clip(jnp.floor(jnp.max(vy, axis=1) + sigma), 0, height - 1)
+
+    slots, slot_valid, counts = _bin_to_tiles(
+        x_lo, x_hi, y_lo, y_hi, edges.active, n_ty, n_tx, th, tw, tiling.edge_capacity
+    )
+
+    # pad buffer / z_buffer to the tile grid and split into tiles
+    ph, pw = n_ty * th - height, n_tx * tw - width
+    chan = buffer.shape[2:] if buffer.ndim == 3 else ()
+
+    def to_tiles(a, fill):
+        a = jnp.pad(a, [(0, ph), (0, pw)] + [(0, 0)] * (a.ndim - 2), constant_values=fill)
+        a = a.reshape((n_ty, th, n_tx, tw) + a.shape[2:]).transpose((0, 2, 1, 3) + tuple(range(4, 4 + a.ndim - 2)))
+        return a.reshape((n_ty * n_tx, th, tw) + a.shape[4:])
+
+    buffer_t = to_tiles(buffer, 0.0)
+    z_t = to_tiles(z_buffer, jnp.inf)
+    obs_t = to_tiles(obs, 0.0) if (cfg.error_mode and obs is not None) else None
+
+    tile_cfg = EdgeAAConfig(
+        height=th,
+        width=tw,
+        sigma=cfg.sigma,
+        clockwise=cfg.clockwise,
+        perspective_correct=cfg.perspective_correct,
+        error_mode=cfg.error_mode,
+        has_texture=cfg.has_texture,
+    )
+    tile_ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
+
+    def one_tile(tile_id, buf, zb, obs_tile, edge_slots, edge_slot_valid):
+        ty = tile_id // n_tx
+        tx = tile_id % n_tx
+        offset = jnp.stack([(tx * tw).astype(buffer.dtype), (ty * th).astype(buffer.dtype)])
+        e: EdgeData = jax.tree.map(lambda a: a[edge_slots], edges)
+        e = e._replace(
+            v0=e.v0 - offset[None, :],
+            v1=e.v1 - offset[None, :],
+            active=e.active & edge_slot_valid,
+        )
+        return edge_overdraw_pass(tile_cfg, buf, e, texture, zb, obs_tile)
+
+    if obs_t is None:
+        obs_dummy = jnp.zeros((1, 1, 1), buffer.dtype)
+        out_t = jax.vmap(lambda ti, b, z, es, ev: one_tile(ti, b, z, obs_dummy, es, ev))(
+            tile_ids, buffer_t, z_t, slots, slot_valid
+        )
+    else:
+        out_t = jax.vmap(one_tile)(tile_ids, buffer_t, z_t, obs_t, slots, slot_valid)
+
+    out = out_t.reshape((n_ty, n_tx, th, tw) + chan).transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(chan))))
+    out = out.reshape((n_ty * th, n_tx * tw) + chan)
+    return out[:height, :width], jnp.max(counts)
