@@ -133,19 +133,15 @@ def render_scene(
     v_xy = ij_off[scene.faces]
     v_z = scene.depths[scene.faces]
 
-    if tiling is not None:
-        from deodr_tpu.ops.tiled import find_winners_tiled
+    if scene.background_image is not None:
+        background = scene.background_image
+    else:
+        background = jnp.broadcast_to(scene.background_color, (height, width, scene.colors.shape[1]))
 
-        winner, z_buffer, _ = find_winners_tiled(
-            v_xy,
-            v_z,
-            draw,
-            width,
-            height,
-            scene.strict_edge,
-            scene.perspective_correct,
-            tiling,
-        )
+    if tiling is not None:
+        from deodr_tpu.ops.tiled import rasterize_tiled
+
+        image, z_buffer, _ = rasterize_tiled(scene, ij_off, draw, background, tiling)
     else:
         winner, z_buffer = find_winners(
             v_xy,
@@ -157,29 +153,24 @@ def render_scene(
             perspective_correct=scene.perspective_correct,
             chunk=chunk,
         )
-    winner = jax.lax.stop_gradient(winner)
+        winner = jax.lax.stop_gradient(winner)
+        z_buffer = jax.lax.stop_gradient(z_buffer)
+        image = shade_pixels(
+            winner,
+            ij_off,
+            scene.depths,
+            scene.faces,
+            scene.faces_uv,
+            scene.colors,
+            scene.uv,
+            scene.shade,
+            scene.textured,
+            scene.shaded,
+            scene.texture,
+            background,
+            perspective_correct=scene.perspective_correct,
+        )
     z_buffer = jax.lax.stop_gradient(z_buffer)
-
-    if scene.background_image is not None:
-        background = scene.background_image
-    else:
-        background = jnp.broadcast_to(scene.background_color, (height, width, scene.colors.shape[1]))
-
-    image = shade_pixels(
-        winner,
-        ij_off,
-        scene.depths,
-        scene.faces,
-        scene.faces_uv,
-        scene.colors,
-        scene.uv,
-        scene.shade,
-        scene.textured,
-        scene.shaded,
-        scene.texture,
-        background,
-        perspective_correct=scene.perspective_correct,
-    )
 
     err_buffer = None
     if antialiase_error:

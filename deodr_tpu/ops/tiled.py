@@ -142,6 +142,182 @@ def find_winners_tiled(
     return winner[:height, :width], z_buffer[:height, :width], jnp.max(counts)
 
 
+def _winner_slots_tiled(setup: TriangleRowSetup, width, height, strict_edge, perspective_correct, tiling):
+    """Per-tile visibility: returns (slots (n_tiles, K), best_slot
+    (n_tiles, th, tw) int32 with K meaning 'miss', z (n_tiles, th, tw),
+    max_count). Identical coverage/z math to find_winners_tiled but keeps
+    the winner as a *tile-local slot index* for matmul-based shading."""
+    dtype = setup.z_coef.dtype
+    th, tw = tiling.tile_h, tiling.tile_w
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    cap = tiling.triangle_capacity
+
+    slots, slot_valid, counts = _bin_to_tiles(
+        setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
+        n_ty, n_tx, th, tw, cap,
+    )
+    cap = slots.shape[1]  # may be < capacity when there are few triangles
+    big = jnp.asarray(jnp.inf, dtype)
+    tile_ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
+
+    def one_tile(tile_id, tri_slots, tri_slot_valid):
+        ty = tile_id // n_tx
+        tx = tile_id % n_tx
+        yy = (ty * th + jnp.arange(th)).astype(dtype)
+        xx = (tx * tw + jnp.arange(tw)).astype(dtype)
+        s: TriangleRowSetup = jax.tree.map(lambda a: a[tri_slots], setup)
+        valid = s.valid & tri_slot_valid
+        lo = (s.x_lo - 1)[:, None, None]
+        hi = s.x_hi[:, None, None]
+        num_l = -(s.left_eq[:, :, None, 1] * yy[None, None, :] + s.left_eq[:, :, None, 2])
+        num_r = -(s.right_eq[:, :, None, 1] * yy[None, None, :] + s.right_eq[:, :, None, 2])
+        if strict_edge:
+            t_l = 1 + floor_div(num_l, s.left_eq[:, :, None, 0], lo, hi)
+        else:
+            t_l = ceil_div(num_l, s.left_eq[:, :, None, 0], lo, hi)
+        t_r = floor_div(num_r, s.right_eq[:, :, None, 0], lo, hi)
+        x_begin = jnp.maximum(s.x_lo[:, None, None], t_l)
+        x_end = jnp.minimum(s.x_hi[:, None, None], t_r)
+        row_ok = (yy[None, None, :] >= s.y_lo[:, :, None]) & (yy[None, None, :] <= s.y_hi[:, :, None])
+        cov = jnp.any(
+            row_ok[:, :, :, None]
+            & (xx[None, None, None, :] >= x_begin[:, :, :, None])
+            & (xx[None, None, None, :] <= x_end[:, :, :, None]),
+            axis=1,
+        )
+        zlin = s.z_coef[:, None, None, 0] * xx[None, None, :] + (
+            s.z_coef[:, None, 1:2] * yy[None, :, None] + s.z_coef[:, None, 2:3]
+        )
+        z = 1.0 / zlin if perspective_correct else zlin
+        z_eff = jnp.where(cov & valid[:, None, None] & jnp.isfinite(z), z, big)
+        best_slot = jnp.argmin(z_eff, axis=0).astype(jnp.int32)
+        best_z = jnp.take_along_axis(z_eff, best_slot[None], axis=0)[0]
+        best_slot = jnp.where(best_z < big, best_slot, cap)
+        return best_slot, best_z
+
+    best_slot, z_t = jax.vmap(one_tile)(tile_ids, slots, slot_valid)
+    return slots, best_slot, z_t, jnp.max(counts)
+
+
+def _untile(a, n_ty, n_tx, th, tw, height, width):
+    chan = a.shape[3:]
+    a = a.reshape((n_ty, n_tx, th, tw) + chan).transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(chan))))
+    return a.reshape((n_ty * th, n_tx * tw) + chan)[:height, :width]
+
+
+def rasterize_tiled(
+    scene,
+    ij_off: jnp.ndarray,
+    draw: jnp.ndarray,
+    background: jnp.ndarray,
+    tiling: TilingConfig,
+):
+    """Full tiled solid pass: visibility + matmul-based shading.
+
+    Shading evaluates, per pixel, the winning triangle's *affine attribute
+    maps* A(x, y) = M·(x, y, 1) — the same quantity as the reference's
+    ``xy1_to_A`` matrices (reference: C++/DifferentiableRenderer.h:807-830)
+    — gathered per tile with a one-hot × table matmul that maps onto the
+    MXU, instead of per-pixel gathers. Gradients to vertex positions flow
+    through the barycentric matrix inverse inside the affine maps; to
+    colors/uv/shade through the corner attributes; visibility (slots) is
+    frozen. Returns (image, z_buffer, max_bin_count).
+    """
+    from deodr_tpu.ops.common import barycentric_matrices, bilinear_sample
+
+    height, width = scene.height, scene.width
+    th, tw = tiling.tile_h, tiling.tile_w
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    cap = tiling.triangle_capacity
+    dtype = ij_off.dtype
+    has_texture = scene.texture is not None
+
+    v_xy = ij_off[scene.faces]
+    v_z = scene.depths[scene.faces]
+    persp = scene.perspective_correct
+
+    setup = triangle_row_setup(
+        jax.lax.stop_gradient(v_xy), jax.lax.stop_gradient(v_z), draw,
+        width, height, scene.strict_edge, persp,
+    )
+    slots, best_slot, z_t, max_count = _winner_slots_tiled(
+        setup, width, height, scene.strict_edge, persp, tiling
+    )
+    cap = slots.shape[1]
+
+    # ---- differentiable per-triangle affine attribute maps ----
+    xy1_to_bary = barycentric_matrices(v_xy)  # (T, 3, 3)
+    corner_list = [scene.colors[scene.faces]]  # (T, 3, C)
+    if has_texture:
+        corner_list.append(scene.uv[scene.faces_uv])  # (T, 3, 2)
+        corner_list.append(scene.shade[scene.faces][..., None])  # (T, 3, 1)
+    corner = jnp.concatenate(corner_list, axis=-1)  # (T, 3, D)
+    if persp:
+        corner = corner / v_z[..., None]
+    affine = jnp.einsum("tkd,tkj->tdj", corner, xy1_to_bary)  # (T, D, 3)
+    n_attr = affine.shape[1]
+    if persp:
+        z_row = jnp.einsum("tk,tkj->tj", 1.0 / v_z, xy1_to_bary)[:, None, :]  # (T, 1, 3)
+        affine = jnp.concatenate([affine, z_row], axis=1)
+    if has_texture:
+        flagv = (scene.textured & scene.shaded).astype(dtype)
+        zero = jnp.zeros_like(flagv)
+        flag_row = jnp.stack([zero, zero, flagv], axis=-1)[:, None, :]  # constant-term-only row
+        affine = jnp.concatenate([affine, flag_row], axis=1)
+    d_total = affine.shape[1]
+    affine_flat = affine.reshape(affine.shape[0], d_total * 3)
+    # append a zero "miss" row
+    affine_flat = jnp.concatenate([affine_flat, jnp.zeros((1, d_total * 3), dtype)], axis=0)
+
+    tile_ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
+
+    def shade_tile(tile_id, tri_slots, slot_px):
+        ty = tile_id // n_tx
+        tx = tile_id % n_tx
+        yy = (ty * th + jnp.arange(th)).astype(dtype)
+        xx = (tx * tw + jnp.arange(tw)).astype(dtype)
+        table = affine_flat[jnp.concatenate([tri_slots, jnp.full((1,), affine_flat.shape[0] - 1, jnp.int32)])]
+        onehot = (slot_px.reshape(-1)[:, None] == jnp.arange(cap + 1, dtype=jnp.int32)[None, :]).astype(dtype)
+        px = jnp.dot(onehot, table, preferred_element_type=dtype)  # (P, D*3)
+        px = px.reshape(th * tw, d_total, 3)
+        x_flat = jnp.broadcast_to(xx[None, :], (th, tw)).reshape(-1)
+        y_flat = jnp.broadcast_to(yy[:, None], (th, tw)).reshape(-1)
+        vals = px[:, :, 0] * x_flat[:, None] + px[:, :, 1] * y_flat[:, None] + px[:, :, 2]  # (P, D)
+        return vals
+
+    vals_t = jax.vmap(shade_tile)(tile_ids, slots, best_slot)  # (n_tiles, P, D)
+    vals_t = vals_t.reshape(n_ty * n_tx, th, tw, d_total)
+    vals = _untile(vals_t, n_ty, n_tx, th, tw, height, width)  # (H, W, D)
+
+    nb_colors = scene.colors.shape[1]
+    idx = nb_colors
+    if persp:
+        # attributes were premultiplied by 1/z; recover with the
+        # perspective depth (reference: C++/DifferentiableRenderer.h:945-957)
+        z_idx = d_total - (2 if has_texture else 1)
+        big_z = 1.0 / vals[..., z_idx]
+        pix = vals[..., :nb_colors] * big_z[..., None]
+    else:
+        pix = vals[..., :nb_colors]
+    if has_texture:
+        uv_px = vals[..., idx : idx + 2]
+        lum = vals[..., idx + 2]
+        if persp:
+            uv_px = uv_px * big_z[..., None]
+            lum = lum * big_z
+        tex_px = bilinear_sample(scene.texture, uv_px) * lum[..., None]
+        use_tex = jax.lax.stop_gradient(vals[..., d_total - 1]) > 0.5
+        pix = jnp.where(use_tex[..., None], tex_px, pix)
+
+    z_buffer = _untile(z_t, n_ty, n_tx, th, tw, height, width)
+    covered = jnp.isfinite(z_buffer)
+    pix = jnp.where(jnp.isfinite(pix), pix, 0.0)
+    image = jnp.where(covered[..., None], pix, background)
+    return image, jax.lax.stop_gradient(z_buffer), max_count
+
+
 def edge_pass_tiled(
     cfg: EdgeAAConfig,
     buffer: jnp.ndarray,

@@ -26,10 +26,10 @@ def test_tiled_matches_brute_force(antialiase_error):
     )
     img_b, zb_b, err_b = f_brute(base)
     img_t, zb_t, err_t = f_tiled(base)
-    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_t), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_t), rtol=0, atol=1e-9)
     np.testing.assert_allclose(np.asarray(zb_b), np.asarray(zb_t), rtol=0, atol=1e-12)
     if antialiase_error:
-        np.testing.assert_allclose(np.asarray(err_b), np.asarray(err_t), rtol=0, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(err_b), np.asarray(err_t), rtol=0, atol=1e-9)
 
 
 def test_tiled_gradients_match_brute_force():
