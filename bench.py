@@ -1,0 +1,123 @@
+"""Headline benchmark: Mpixels/s/chip, forward+backward, 512x512.
+
+Scene mirrors the reference's microbenchmark (reference:
+tests/benchmark_rendering.py: 200 random untextured triangles) at 512x512,
+with edge-overdraw antialiasing enabled (sigma=1) and full gradient
+computation w.r.t. vertex positions and colors — the reference's headline
+capability.
+
+Baseline: the reference C++ core compiled with -O3 -march=native on this
+host, single core, float64 (tools/baseline_bench.cpp): 27.51 Mpix/s
+forward+backward at 512x512/sigma=1 (47.30 Mpix/s at sigma=0).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+# measured on this host via tools/baseline_bench.cpp (reference C++ core,
+# single core): {"height":512,"width":512,"n_tri":200,"sigma":1,
+# "fwdbwd_mpix_s":27.51}
+BASELINE_FWDBWD_MPIX_S_SIGMA1 = 27.51
+BASELINE_FWDBWD_MPIX_S_SIGMA0 = 47.30
+
+
+def build_scene(height=512, width=512, n_tri=200, dtype=None):
+    import jax.numpy as jnp
+
+    from deodr_tpu.ops.render import SceneBuffers
+
+    if dtype is None:
+        dtype = jnp.float32
+    rng = np.random.RandomState(0)
+    centers = rng.rand(n_tri, 1, 2) * [width, height]
+    tri = (centers + (rng.rand(n_tri, 3, 2) - 0.5) * 160).astype(np.float32)
+    u = tri[:, 1] - tri[:, 0]
+    w = tri[:, 2] - tri[:, 0]
+    raw = u[:, 0] * w[:, 1] - w[:, 0] * u[:, 1]
+    tri[raw > 0] = tri[raw > 0][:, [0, 2, 1]]
+    ij = tri.reshape(-1, 2)
+    faces = np.arange(3 * n_tri, dtype=np.int32).reshape(n_tri, 3)
+    depths = (np.repeat(rng.rand(n_tri), 3) + 0.5).astype(np.float32)
+    colors = rng.rand(3 * n_tri, 3).astype(np.float32)
+    return SceneBuffers(
+        faces=jnp.asarray(faces),
+        faces_uv=jnp.asarray(faces),
+        ij=jnp.asarray(ij, dtype),
+        depths=jnp.asarray(depths, dtype),
+        uv=jnp.zeros((3 * n_tri, 2), dtype),
+        shade=jnp.zeros((3 * n_tri,), dtype),
+        colors=jnp.asarray(colors, dtype),
+        edgeflags=jnp.ones((n_tri, 3), bool),
+        textured=jnp.zeros((n_tri,), bool),
+        shaded=jnp.zeros((n_tri,), bool),
+        texture=None,
+        background_image=None,
+        background_color=jnp.asarray(np.array([0.3, 0.5, 0.7]), dtype),
+        height=height,
+        width=width,
+        clockwise=False,
+        backface_culling=True,
+        strict_edge=True,
+        perspective_correct=False,
+        integer_pixel_centers=True,
+    )
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from deodr_tpu.ops.render import render_scene
+    from deodr_tpu.ops.tiled import TilingConfig
+
+    height = width = 512
+    scene = build_scene(height, width)
+    obs = jnp.zeros((height, width, 3), jnp.float32)
+    tiling = TilingConfig(tile_h=64, tile_w=64, triangle_capacity=32, edge_capacity=64)
+    sigma = 1.0
+
+    def loss(ij, colors):
+        b = dataclasses.replace(scene, ij=ij, colors=colors)
+        img, _, _ = render_scene(b, sigma, aa_edge_capacity=600, tiling=tiling)
+        return jnp.sum((img - obs) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    out = vg(scene.ij, scene.colors)
+    jax.block_until_ready(out)
+    n = 30
+    t0 = time.time()
+    for _ in range(n):
+        out = vg(scene.ij, scene.colors)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n
+    mpix_s = height * width / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "fwd+bwd render throughput, 512x512, 200 tris, sigma=1, grads wrt ij+colors",
+                "value": round(mpix_s, 2),
+                "unit": "Mpix/s/chip",
+                "vs_baseline": round(mpix_s / BASELINE_FWDBWD_MPIX_S_SIGMA1, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # always emit one JSON line
+        print(json.dumps({"metric": "bench failed", "value": 0, "unit": str(e)[:200], "vs_baseline": 0}))
+        sys.exit(1)
