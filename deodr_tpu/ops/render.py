@@ -103,6 +103,8 @@ def render_scene(
     chunk: int = 64,
     aa_edge_capacity: Optional[int] = None,
     tiling=None,
+    impl: str = "xla",
+    impl_interpret: bool = False,
 ):
     """Render a 2.5D scene.
 
@@ -139,9 +141,16 @@ def render_scene(
         background = jnp.broadcast_to(scene.background_color, (height, width, scene.colors.shape[1]))
 
     if tiling is not None:
-        from deodr_tpu.ops.tiled import rasterize_tiled
+        if impl == "pallas":
+            from deodr_tpu.ops.tiled import rasterize_tiled_pallas
 
-        image, z_buffer, _ = rasterize_tiled(scene, ij_off, draw, background, tiling)
+            image, z_buffer, _ = rasterize_tiled_pallas(
+                scene, ij_off, draw, background, tiling, interpret=(impl_interpret or False)
+            )
+        else:
+            from deodr_tpu.ops.tiled import rasterize_tiled
+
+            image, z_buffer, _ = rasterize_tiled(scene, ij_off, draw, background, tiling)
     else:
         winner, z_buffer = find_winners(
             v_xy,

@@ -397,3 +397,134 @@ def edge_pass_tiled(
     out = out_t.reshape((n_ty, n_tx, th, tw) + chan).transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(chan))))
     out = out.reshape((n_ty * th, n_tx * tw) + chan)
     return out[:height, :width], jnp.max(counts)
+
+
+def _affine_attribute_maps(scene, v_xy, v_z):
+    """Differentiable per-triangle affine attribute maps (T, D, 3) with the
+    attribute order [colors (C), uv (2), shade (1) if textured][, 1/z if
+    perspective][, textured-flag]; see rasterize_tiled."""
+    from deodr_tpu.ops.common import barycentric_matrices
+
+    dtype = v_xy.dtype
+    persp = scene.perspective_correct
+    has_texture = scene.texture is not None
+    xy1_to_bary = barycentric_matrices(v_xy)
+    corner_list = [scene.colors[scene.faces]]
+    if has_texture:
+        corner_list.append(scene.uv[scene.faces_uv])
+        corner_list.append(scene.shade[scene.faces][..., None])
+    corner = jnp.concatenate(corner_list, axis=-1)
+    if persp:
+        corner = corner / v_z[..., None]
+    affine = jnp.einsum("tkd,tkj->tdj", corner, xy1_to_bary)
+    if persp:
+        z_row = jnp.einsum("tk,tkj->tj", 1.0 / v_z, xy1_to_bary)[:, None, :]
+        affine = jnp.concatenate([affine, z_row], axis=1)
+    if has_texture:
+        flagv = (scene.textured & scene.shaded).astype(dtype)
+        zero = jnp.zeros_like(flagv)
+        flag_row = jnp.stack([zero, zero, flagv], axis=-1)[:, None, :]
+        affine = jnp.concatenate([affine, flag_row], axis=1)
+    return affine
+
+
+def _finish_shading(scene, vals, z_buffer, background):
+    """Shared post-processing: perspective recovery, texture fetch,
+    background compositing. vals: (H, W, D)."""
+    from deodr_tpu.ops.common import bilinear_sample
+
+    persp = scene.perspective_correct
+    has_texture = scene.texture is not None
+    nb_colors = scene.colors.shape[1]
+    d_total = vals.shape[-1]
+    if persp:
+        z_idx = d_total - (2 if has_texture else 1)
+        big_z = 1.0 / vals[..., z_idx]
+        pix = vals[..., :nb_colors] * big_z[..., None]
+    else:
+        pix = vals[..., :nb_colors]
+    if has_texture:
+        idx = nb_colors
+        uv_px = vals[..., idx : idx + 2]
+        lum = vals[..., idx + 2]
+        if persp:
+            uv_px = uv_px * big_z[..., None]
+            lum = lum * big_z
+        tex_px = bilinear_sample(scene.texture, uv_px) * lum[..., None]
+        use_tex = jax.lax.stop_gradient(vals[..., d_total - 1]) > 0.5
+        pix = jnp.where(use_tex[..., None], tex_px, pix)
+    covered = jnp.isfinite(z_buffer)
+    pix = jnp.where(jnp.isfinite(pix), pix, 0.0)
+    image = jnp.where(covered[..., None], pix, background)
+    return image
+
+
+def _pack_setup_rows(setup: TriangleRowSetup, dtype):
+    """Pack TriangleRowSetup into the (T, 22) float layout consumed by the
+    Pallas kernel (see deodr_tpu.ops.pallas.raster_kernel)."""
+    cols = [
+        setup.y_lo[:, 0:1],
+        setup.y_lo[:, 1:2],
+        setup.y_hi[:, 0:1],
+        setup.y_hi[:, 1:2],
+        setup.left_eq[:, 0, :],
+        setup.left_eq[:, 1, :],
+        setup.right_eq[:, 0, :],
+        setup.right_eq[:, 1, :],
+        setup.x_lo[:, None],
+        setup.x_hi[:, None],
+        setup.z_coef,
+        setup.valid[:, None].astype(dtype),
+    ]
+    return jnp.concatenate([c.astype(dtype) for c in cols], axis=1)
+
+
+def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig, interpret: bool = False):
+    """Pallas-kernel version of :func:`rasterize_tiled` (same results)."""
+    from deodr_tpu.ops.pallas.raster_kernel import (
+        PallasRasterConfig,
+        SETUP_WIDTH,
+        raster_eval_pallas,
+    )
+
+    height, width = scene.height, scene.width
+    th, tw = tiling.tile_h, tiling.tile_w
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    dtype = ij_off.dtype
+
+    v_xy = ij_off[scene.faces]
+    v_z = scene.depths[scene.faces]
+    persp = scene.perspective_correct
+
+    setup = triangle_row_setup(
+        jax.lax.stop_gradient(v_xy), jax.lax.stop_gradient(v_z), draw,
+        width, height, scene.strict_edge, persp,
+    )
+    slots, slot_valid, counts = _bin_to_tiles(
+        setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
+        n_ty, n_tx, th, tw, tiling.triangle_capacity,
+    )
+    cap = slots.shape[1]
+
+    packed = _pack_setup_rows(setup, dtype)  # (T, 22)
+    setup_tile = packed[slots]  # (n_tiles, cap, 22)
+    setup_tile = setup_tile.at[:, :, SETUP_WIDTH - 1].multiply(slot_valid.astype(dtype))
+
+    affine = _affine_attribute_maps(scene, v_xy, v_z)  # (T, D, 3)
+    d_total = affine.shape[1]
+    # kernel layout: [x-coeffs D | y-coeffs D | const D]
+    affine_g = jnp.swapaxes(affine, 1, 2).reshape(affine.shape[0], 3 * d_total)
+    affine_g = jnp.concatenate([affine_g, jnp.zeros((1, 3 * d_total), dtype)], axis=0)
+    miss = jnp.full((slots.shape[0], 1), affine_g.shape[0] - 1, jnp.int32)
+    affine_tile = affine_g[jnp.concatenate([slots, miss], axis=1)]  # (n_tiles, cap+1, 3D)
+
+    cfg = PallasRasterConfig(
+        tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, n_attr=d_total,
+        strict_edge=scene.strict_edge, perspective_correct=persp, interpret=interpret,
+    )
+    slot_map, z_pad, vals_pad = raster_eval_pallas(cfg, affine_tile, setup_tile)
+    z_buffer = z_pad[:height, :width]
+    vals = vals_pad[:height, :width, :]
+    image = _finish_shading(scene, vals, z_buffer, background)
+    return image, jax.lax.stop_gradient(z_buffer), jnp.max(counts)
