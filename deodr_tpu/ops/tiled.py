@@ -525,6 +525,6 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     )
     slot_map, z_pad, vals_pad = raster_eval_pallas(cfg, affine_tile, setup_tile)
     z_buffer = z_pad[:height, :width]
-    vals = vals_pad[:height, :width, :]
+    vals = jnp.moveaxis(vals_pad, 0, -1)[:height, :width, :]
     image = _finish_shading(scene, vals, z_buffer, background)
     return image, jax.lax.stop_gradient(z_buffer), jnp.max(counts)
