@@ -85,12 +85,12 @@ def main():
     height = width = 512
     scene = build_scene(height, width)
     obs = jnp.zeros((height, width, 3), jnp.float32)
-    tiling = TilingConfig(tile_h=64, tile_w=64, triangle_capacity=32, edge_capacity=64)
+    tiling = TilingConfig(tile_h=64, tile_w=128, triangle_capacity=48, edge_capacity=64)
     sigma = 1.0
 
     def loss(ij, colors):
         b = dataclasses.replace(scene, ij=ij, colors=colors)
-        img, _, _ = render_scene(b, sigma, aa_edge_capacity=600, tiling=tiling)
+        img, _, _ = render_scene(b, sigma, aa_edge_capacity=600, tiling=tiling, impl="pallas")
         return jnp.sum((img - obs) ** 2)
 
     vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))

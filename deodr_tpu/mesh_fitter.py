@@ -44,13 +44,28 @@ class _FitterRenderCore:
         self._jit_cache: Dict = {}
 
     def silhouette_capacity(self, camera: Camera, vertices) -> Optional[int]:
-        if self.sigma <= 0:
-            return None
+        return self.plan(camera, vertices)[0]
+
+    def plan(self, camera: Camera, vertices):
+        """Eager per-step render plan: (aa edge capacity, tiling config)."""
         pts, _ = camera.project_points(jax.lax.stop_gradient(jnp.asarray(vertices)))
-        flags = self.mesh.edge_on_silhouette(pts)
-        visible = self.mesh.adjacencies.face_visible(pts)
-        count = int(jnp.sum(flags & visible[:, None]))
-        return min(3 * self.mesh.nb_faces, _next_pow2_bucket(count))
+        pts_np = np.asarray(pts)
+        cap = None
+        edgeflags_np = None
+        if self.sigma > 0:
+            flags = self.mesh.edge_on_silhouette(pts)
+            visible = self.mesh.adjacencies.face_visible(pts)
+            edgeflags_np = np.asarray(flags & visible[:, None])
+            cap = min(3 * self.mesh.nb_faces, _next_pow2_bucket(int(edgeflags_np.sum())))
+        tiling = None
+        if self.mesh.nb_faces > 256:
+            from deodr_tpu.ops.tiled import suggest_tiling
+
+            tiling = suggest_tiling(
+                pts_np, self.mesh.faces, camera.height, camera.width,
+                sigma=self.sigma, edgeflags=edgeflags_np,
+            )
+        return cap, tiling
 
     def cached(self, key, make):
         fn = self._jit_cache.get(key)
@@ -135,7 +150,7 @@ class MeshDepthFitter:
         q_n = normalize(jnp.asarray(self.transform_quaternion))
         return qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(self.transform_translation)
 
-    def _make_energy(self, cap):
+    def _make_energy(self, cap, tiling):
         mesh = self.mesh
         camera = self.camera
         sigma = self.core.sigma
@@ -176,7 +191,7 @@ class MeshDepthFitter:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
-            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap)
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling)
             depth_clipped = jnp.clip(image, 0, max_depth)
             diff_image = jnp.sum((depth_clipped - obs[:, :, None]) ** 2, axis=2)
             return jnp.sum(diff_image), (depth_clipped, diff_image)
@@ -192,8 +207,8 @@ class MeshDepthFitter:
     def step(self) -> Tuple[float, np.ndarray, np.ndarray]:
         self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]
         vt = self._transformed_vertices()
-        cap = self.core.silhouette_capacity(self.camera, vt)
-        fn = self.core.cached(("depth", cap, self.width, self.height), lambda: self._make_energy(cap))
+        cap, tiling = self.core.plan(self.camera, vt)
+        fn = self.core.cached(("depth", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling))
         energy_data, (depth, diff_image), grads = fn(
             jnp.asarray(self.vertices), jnp.asarray(self.transform_quaternion), jnp.asarray(self.transform_translation)
         )
@@ -306,7 +321,7 @@ class MeshRGBFitterWithPose:
         )
         self.iter = 0
 
-    def _make_energy(self, cap):
+    def _make_energy(self, cap, tiling):
         mesh = self.mesh
         camera = self.camera
         sigma = self.core.sigma
@@ -350,7 +365,7 @@ class MeshRGBFitterWithPose:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
-            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap)
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling)
             diff_image = jnp.sum((image - obs) ** 2, axis=2)
             return jnp.sum(diff_image), (image, diff_image)
 
@@ -364,8 +379,8 @@ class MeshRGBFitterWithPose:
         self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]
         q_n = normalize(jnp.asarray(self.transform_quaternion))
         vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(self.transform_translation)
-        cap = self.core.silhouette_capacity(self.camera, vt)
-        fn = self.core.cached(("rgb", cap, self.width, self.height), lambda: self._make_energy(cap))
+        cap, tiling = self.core.plan(self.camera, vt)
+        fn = self.core.cached(("rgb", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling))
         energy_data, (image, diff_image), grads = fn(
             jnp.asarray(self.vertices),
             jnp.asarray(self.transform_quaternion),
@@ -501,7 +516,7 @@ class MeshRGBFitterWithPoseMultiFrame:
         )
         self.iter = 0
 
-    def _make_energy(self, cap, idframe):
+    def _make_energy(self, cap, tiling, idframe):
         mesh = self.mesh
         camera = self.camera
         sigma = self.core.sigma
@@ -546,7 +561,7 @@ class MeshRGBFitterWithPoseMultiFrame:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
-            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap)
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling)
             diff_image = jnp.sum((image - obs) ** 2, axis=2)
             return coef_data * jnp.sum(diff_image), (image, diff_image)
 
@@ -570,8 +585,8 @@ class MeshRGBFitterWithPoseMultiFrame:
             t = self.transform_translation[idframe]
             q_n = normalize(jnp.asarray(q))
             vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(t)
-            cap = self.core.silhouette_capacity(self.camera, vt)
-            fn = self.core.cached(("multi", idframe, cap, self.width, self.height), lambda: self._make_energy(cap, idframe))
+            cap, tiling = self.core.plan(self.camera, vt)
+            fn = self.core.cached(("multi", idframe, cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling, idframe))
             e, (image, diff_image), grads = fn(
                 jnp.asarray(self.vertices),
                 jnp.asarray(q),

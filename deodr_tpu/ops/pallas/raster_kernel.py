@@ -219,7 +219,9 @@ def _raster_bwd(cfg, residuals, cotangents):
             pl.BlockSpec((d, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, cap + 1, 3 * d), lambda i, j: (i * cfg.n_tx + j, 0, 0), memory_space=pltpu.VMEM
+            # scalar accumulations land in SMEM (scalar stores to VMEM are
+            # not supported by Mosaic)
+            (1, cap + 1, 3 * d), lambda i, j: (i * cfg.n_tx + j, 0, 0), memory_space=pltpu.SMEM
         ),
         out_shape=jax.ShapeDtypeStruct((cfg.n_ty * cfg.n_tx, cap + 1, 3 * d), dtype),
         interpret=cfg.interpret,

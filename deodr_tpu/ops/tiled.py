@@ -528,3 +528,77 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     vals = jnp.moveaxis(vals_pad, 0, -1)[:height, :width, :]
     image = _finish_shading(scene, vals, z_buffer, background)
     return image, jax.lax.stop_gradient(z_buffer), jnp.max(counts)
+
+
+def suggest_tiling(
+    ij: "np.ndarray",
+    faces: "np.ndarray",
+    height: int,
+    width: int,
+    sigma: float = 0.0,
+    edgeflags: "np.ndarray" = None,
+    tile_h: int = 64,
+    tile_w: int = 64,
+    margin: float = 1.5,
+) -> TilingConfig:
+    """Eagerly (numpy) estimate per-tile bin occupancies for the given
+    projected geometry and return a TilingConfig with power-of-two
+    capacities (so jit keys stay stable across fitting iterations).
+
+    Uses the 2D difference-array / integral-image trick to count, per tile,
+    how many triangle (and silhouette-edge band) bounding boxes overlap it.
+    """
+    import numpy as _np
+
+    ij = _np.asarray(ij)
+    faces = _np.asarray(faces)
+    n_ty = -(-height // tile_h)
+    n_tx = -(-width // tile_w)
+
+    def occupancy(x_lo, x_hi, y_lo, y_hi, valid):
+        tx0 = _np.clip(x_lo // tile_w, 0, n_tx - 1).astype(int)
+        tx1 = _np.clip(x_hi // tile_w, 0, n_tx - 1).astype(int)
+        ty0 = _np.clip(y_lo // tile_h, 0, n_ty - 1).astype(int)
+        ty1 = _np.clip(y_hi // tile_h, 0, n_ty - 1).astype(int)
+        ok = valid & (x_lo <= x_hi) & (y_lo <= y_hi)
+        delta = _np.zeros((n_ty + 1, n_tx + 1))
+        _np.add.at(delta, (ty0[ok], tx0[ok]), 1)
+        _np.add.at(delta, (ty1[ok] + 1, tx0[ok]), -1)
+        _np.add.at(delta, (ty0[ok], tx1[ok] + 1), -1)
+        _np.add.at(delta, (ty1[ok] + 1, tx1[ok] + 1), 1)
+        counts = _np.cumsum(_np.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
+        return int(counts.max()) if counts.size else 0
+
+    tri = ij[faces]
+    x_lo = _np.clip(_np.floor(tri[:, :, 0].min(axis=1)), 0, width - 1)
+    x_hi = _np.clip(_np.floor(tri[:, :, 0].max(axis=1)), 0, width - 1)
+    y_lo = _np.clip(_np.floor(tri[:, :, 1].min(axis=1)), 0, height - 1)
+    y_hi = _np.clip(_np.floor(tri[:, :, 1].max(axis=1)), 0, height - 1)
+    tri_cap = occupancy(x_lo, x_hi, y_lo, y_hi, _np.ones(len(faces), bool))
+
+    edge_cap = 8
+    if sigma > 0 and edgeflags is not None and _np.any(edgeflags):
+        sub0 = _np.array([1, 2, 0])
+        sub1 = _np.array([0, 1, 2])
+        flat = _np.asarray(edgeflags).reshape(-1)
+        tri_ids = _np.repeat(_np.arange(len(faces)), 3)[flat]
+        slot = _np.tile(_np.arange(3), len(faces))[flat]
+        i0 = faces[tri_ids, sub0[slot]]
+        i1 = faces[tri_ids, sub1[slot]]
+        ex_lo = _np.clip(_np.floor(_np.minimum(ij[i0, 0], ij[i1, 0]) - sigma), 0, width - 1)
+        ex_hi = _np.clip(_np.floor(_np.maximum(ij[i0, 0], ij[i1, 0]) + sigma) + 1, 0, width - 1)
+        ey_lo = _np.clip(_np.floor(_np.minimum(ij[i0, 1], ij[i1, 1]) - sigma) + 1, 0, height - 1)
+        ey_hi = _np.clip(_np.floor(_np.maximum(ij[i0, 1], ij[i1, 1]) + sigma), 0, height - 1)
+        edge_cap = occupancy(ex_lo, ex_hi, ey_lo, ey_hi, _np.ones(len(i0), bool))
+
+    def bucket(n):
+        import math
+
+        return max(8, int(2 ** math.ceil(math.log2(max(1, int(n * margin))))))
+
+    return TilingConfig(
+        tile_h=tile_h,
+        tile_w=tile_w,
+        triangle_capacity=bucket(tri_cap),
+        edge_capacity=bucket(edge_cap),
+    )

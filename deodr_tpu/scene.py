@@ -391,19 +391,37 @@ class Scene3D:
         )
         return buffers, depths
 
-    def _aa_capacity(self, camera) -> Optional[int]:
-        """Eagerly estimate the active silhouette-edge count for this view and
-        round it up to a power of two, so the jitted render specializes on a
-        small, stable edge capacity instead of all 3·F edge slots."""
-        if self.sigma <= 0:
-            return None
+    def _eager_plan(self, camera):
+        """Eagerly (one cheap projection) pick the static render plan for
+        this view: the silhouette-edge capacity (rounded to a power of two
+        for jit-key stability) and, for large meshes, a tiling config with
+        occupancy-derived bin capacities."""
         mesh = self.mesh
         points_2d, _ = camera.project_points(jax.lax.stop_gradient(_as_f(mesh.vertices)))
-        flags = mesh.edge_on_silhouette(points_2d)
-        visible = mesh.adjacencies.face_visible(points_2d)
-        count = int(jnp.sum(flags & visible[:, None]))
-        bucket = int(2 ** np.ceil(np.log2(max(count, 8))))
-        return min(3 * mesh.nb_faces, bucket)
+        points_np = np.asarray(points_2d)
+        cap = None
+        edgeflags_np = None
+        if self.sigma > 0:
+            flags = mesh.edge_on_silhouette(points_2d)
+            visible = mesh.adjacencies.face_visible(points_2d)
+            edgeflags_np = np.asarray(flags & visible[:, None])
+            count = int(edgeflags_np.sum())
+            bucket = int(2 ** np.ceil(np.log2(max(count, 8))))
+            cap = min(3 * mesh.nb_faces, bucket)
+        tiling = None
+        if mesh.nb_faces > 256:
+            from deodr_tpu.ops.tiled import suggest_tiling
+
+            offset = 0.0 if self.integer_pixel_centers else 0.5
+            tiling = suggest_tiling(
+                points_np - offset,
+                mesh.faces,
+                camera.height,
+                camera.width,
+                sigma=self.sigma,
+                edgeflags=edgeflags_np,
+            )
+        return cap, tiling
 
     def _camera_key(self, camera: Camera):
         dist = b"" if camera.distortion is None else camera.distortion.tobytes()
@@ -430,7 +448,7 @@ class Scene3D:
         )
 
     def _render_config(self, camera, backface_culling, depth_only_scale):
-        cap = self._aa_capacity(camera)
+        cap, tiling = self._eager_plan(camera)
         inputs = self._diff_inputs(depth_only_scale is not None)
         key = (
             self._camera_key(camera),
@@ -439,6 +457,7 @@ class Scene3D:
             self.mesh.nb_faces,
             float(self.sigma),
             cap,
+            tiling,
             backface_culling,
             depth_only_scale,
             tuple(None if x is None else x.shape for x in inputs),
@@ -452,7 +471,9 @@ class Scene3D:
                     camera, vertices, colors, light_dir, light_amb, uv, texture,
                     backface_culling, depth_only_scale,
                 )
-                image, z_buffer, _ = render_scene(buffers, float(self.sigma), aa_edge_capacity=cap)
+                image, z_buffer, _ = render_scene(
+                    buffers, float(self.sigma), aa_edge_capacity=cap, tiling=tiling
+                )
                 return image, z_buffer
 
             return f
