@@ -201,12 +201,25 @@ def render_scene(
         if texture is None:
             texture = jnp.zeros((1, 1, scene.colors.shape[1]), scene.colors.dtype)
         if tiling is not None:
-            from deodr_tpu.ops.tiled import edge_pass_tiled
+            use_pallas_edges = impl == "pallas" and scene.texture is None
+            if use_pallas_edges:
+                from deodr_tpu.ops.tiled import edge_pass_tiled_pallas
 
-            if antialiase_error:
-                err_buffer, _ = edge_pass_tiled(cfg, err_buffer, edges, texture, z_buffer, obs, tiling)
+                if antialiase_error:
+                    err_buffer, _ = edge_pass_tiled_pallas(
+                        cfg, err_buffer, edges, z_buffer, obs, tiling, interpret=impl_interpret
+                    )
+                else:
+                    image, _ = edge_pass_tiled_pallas(
+                        cfg, image, edges, z_buffer, None, tiling, interpret=impl_interpret
+                    )
             else:
-                image, _ = edge_pass_tiled(cfg, image, edges, texture, z_buffer, None, tiling)
+                from deodr_tpu.ops.tiled import edge_pass_tiled
+
+                if antialiase_error:
+                    err_buffer, _ = edge_pass_tiled(cfg, err_buffer, edges, texture, z_buffer, obs, tiling)
+                else:
+                    image, _ = edge_pass_tiled(cfg, image, edges, texture, z_buffer, None, tiling)
         elif antialiase_error:
             err_buffer = edge_overdraw_pass(cfg, err_buffer, edges, texture, z_buffer, obs)
         else:

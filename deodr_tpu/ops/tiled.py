@@ -602,3 +602,121 @@ def suggest_tiling(
         triangle_capacity=bucket(tri_cap),
         edge_capacity=bucket(edge_cap),
     )
+
+
+def edge_pass_tiled_pallas(
+    cfg: EdgeAAConfig,
+    buffer: jnp.ndarray,
+    edges: EdgeData,
+    z_buffer: jnp.ndarray,
+    obs,
+    tiling: TilingConfig,
+    interpret: bool = False,
+):
+    """Pallas-kernel edge-overdraw pass (untextured attribute path).
+
+    The differentiable per-edge stencil coefficients (b0/b1/T affine rows,
+    via the 3x3 edge-matrix inverse) are built in XLA so jax.grad chains
+    per-slot gradients from the kernel's custom VJP back to the edge
+    endpoint positions; the sequential per-tile blending runs in VMEM.
+    Returns (buffer, max_bin_count).
+    """
+    from deodr_tpu.ops.common import inv3x3
+    from deodr_tpu.ops.pallas.edge_kernel import (
+        PallasEdgeConfig,
+        edge_pass_pallas,
+        edge_row_width,
+    )
+
+    height, width = cfg.height, cfg.width
+    th, tw = tiling.tile_h, tiling.tile_w
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    sigma = cfg.sigma
+    dtype = buffer.dtype
+    c = edges.attrs.shape[-1]
+
+    # --- differentiable per-edge stencil coefficient rows ---
+    v0, v1 = edges.v0, edges.v1
+    if cfg.clockwise:
+        n = jnp.stack([v0[:, 1] - v1[:, 1], v1[:, 0] - v0[:, 0]], axis=1)
+    else:
+        n = jnp.stack([v1[:, 1] - v0[:, 1], v0[:, 0] - v1[:, 0]], axis=1)
+    n = n / jnp.sqrt(jnp.sum(n**2, axis=1, keepdims=True))
+    ones = jnp.ones_like(v0[:, 0])
+    zeros = jnp.zeros_like(ones)
+    m = jnp.stack(
+        [
+            jnp.stack([v0[:, 0], v1[:, 0], n[:, 0]], axis=1),
+            jnp.stack([v0[:, 1], v1[:, 1], n[:, 1]], axis=1),
+            jnp.stack([ones, ones, zeros], axis=1),
+        ],
+        axis=1,
+    )  # (E, 3, 3)
+    inv = inv3x3(m)
+    b0c = inv[:, 0, :]
+    b1c = inv[:, 1, :]
+    tc = inv[:, 2, :] / sigma
+
+    vy_min = jnp.minimum(v0[:, 1], v1[:, 1])
+    vy_max = jnp.maximum(v0[:, 1], v1[:, 1])
+    y_beg = jax.lax.stop_gradient(jnp.maximum(jnp.floor(vy_min - sigma) + 1, 0.0))
+    y_end = jax.lax.stop_gradient(jnp.minimum(jnp.floor(vy_max + sigma), float(height - 1)))
+
+    finite = jnp.all(jnp.isfinite(inv), axis=(1, 2))
+    active = edges.active & finite
+
+    rows = jnp.concatenate(
+        [
+            b0c,
+            b1c,
+            tc,
+            y_beg[:, None],
+            y_end[:, None],
+            edges.attrs[:, 0, :],
+            edges.attrs[:, 1, :],
+            jax.lax.stop_gradient(edges.z),
+            active.astype(dtype)[:, None],
+        ],
+        axis=1,
+    )
+    assert rows.shape[1] == edge_row_width(c)
+
+    # --- bin edge bands to tiles (same bboxes as edge_pass_tiled) ---
+    vx = jnp.stack([v0[:, 0], v1[:, 0]], axis=1)
+    vyy = jnp.stack([v0[:, 1], v1[:, 1]], axis=1)
+    x_lo = jnp.clip(jnp.floor(jnp.min(vx, axis=1) - sigma), 0, width - 1)
+    x_hi = jnp.clip(jnp.floor(jnp.max(vx, axis=1) + sigma) + 1, 0, width - 1)
+    yb_lo = jnp.clip(jnp.floor(jnp.min(vyy, axis=1) - sigma) + 1, 0, height - 1)
+    yb_hi = jnp.clip(jnp.floor(jnp.max(vyy, axis=1) + sigma), 0, height - 1)
+    slots, slot_valid, counts = _bin_to_tiles(
+        jax.lax.stop_gradient(x_lo), jax.lax.stop_gradient(x_hi),
+        jax.lax.stop_gradient(yb_lo), jax.lax.stop_gradient(yb_hi),
+        active, n_ty, n_tx, th, tw, tiling.edge_capacity,
+    )
+    cap = slots.shape[1]
+    table_tile = rows[slots]  # (n_tiles, cap, W)
+    table_tile = table_tile.at[:, :, edge_row_width(c) - 1].multiply(slot_valid.astype(dtype))
+
+    # --- planar padded framebuffer views ---
+    ph, pw = n_ty * th - height, n_tx * tw - width
+    if cfg.error_mode:
+        buf_pad = jnp.pad(buffer, [(0, ph), (0, pw)])[None]  # (1, H', W')
+    else:
+        buf_pad = jnp.moveaxis(jnp.pad(buffer, [(0, ph), (0, pw), (0, 0)]), -1, 0)  # (C, H', W')
+    z_pad = jnp.pad(z_buffer, [(0, ph), (0, pw)], constant_values=jnp.inf)
+    if cfg.error_mode and obs is not None:
+        obs_pad = jnp.moveaxis(jnp.pad(obs, [(0, ph), (0, pw), (0, 0)]), -1, 0)
+    else:
+        obs_pad = jnp.zeros((c, n_ty * th, n_tx * tw), dtype)
+
+    kcfg = PallasEdgeConfig(
+        tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, nb_colors=c,
+        error_mode=cfg.error_mode, interpret=interpret,
+    )
+    out_pad = edge_pass_pallas(kcfg, table_tile, buf_pad, z_pad, obs_pad)
+    if cfg.error_mode:
+        out = out_pad[0, :height, :width]
+    else:
+        out = jnp.moveaxis(out_pad, 0, -1)[:height, :width, :]
+    return out, jnp.max(counts)
