@@ -250,7 +250,7 @@ def _build_edge_data(
     """
     nt = scene.faces.shape[0]
     sum_depth = jnp.sum(scene.depths[scene.faces], axis=1)
-    order = jnp.argsort(-sum_depth)  # back-to-front, stable
+    order = _order_descending(sum_depth)  # back-to-front
 
     tri = jnp.repeat(order, 3)  # (3T,)
     slot = jnp.tile(jnp.arange(3), nt)
@@ -282,11 +282,33 @@ def _build_edge_data(
         use_texture=use_texture,
     )
     if aa_edge_capacity is not None and aa_edge_capacity < 3 * nt:
-        # stable argsort keeps active edges in depth order while moving them
-        # to the front of the list
-        perm = jnp.argsort(~active, stable=True)[:aa_edge_capacity]
+        # sort-free compaction: prefix-count ranks + one-hot contraction keep
+        # active edges in depth order while moving them to the front
+        activef = active.astype(jnp.float32)
+        rank = (jnp.cumsum(activef) - activef).astype(jnp.int32)
+        ks = jnp.arange(aa_edge_capacity, dtype=jnp.int32)
+        onehot = ((rank[:, None] == ks[None, :]) & active[:, None]).astype(jnp.float32)
+        perm = jnp.einsum("nk,n->k", onehot, jnp.arange(3 * nt, dtype=jnp.float32)).astype(jnp.int32)
+        got = jnp.sum(onehot, axis=0) > 0.5
         edges = jax.tree.map(lambda a: a[perm], edges)
+        edges = edges._replace(active=edges.active & got)
     return edges
+
+
+def _order_descending(keys: jnp.ndarray) -> jnp.ndarray:
+    """Permutation sorting ``keys`` descending (ties → lower index first).
+
+    For small N uses an O(N²) comparison-matrix ranking (XLA sorts are slow
+    on TPU); falls back to argsort for large N.
+    """
+    n = keys.shape[0]
+    if n > 4096:
+        return jnp.argsort(-keys)
+    idx = jnp.arange(n)
+    gt = (keys[None, :] > keys[:, None]) | ((keys[None, :] == keys[:, None]) & (idx[None, :] < idx[:, None]))
+    rank = jnp.sum(gt, axis=1).astype(jnp.int32)  # position of item i in the output
+    onehot = (rank[:, None] == idx[None, :]).astype(jnp.float32)
+    return jnp.einsum("ip,i->p", onehot, idx.astype(jnp.float32)).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling"))

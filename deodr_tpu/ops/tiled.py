@@ -61,10 +61,20 @@ def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, cap
         & (txs <= tx1[None, None, :])
     )  # (n_ty, n_tx, N)
     mask = mask.reshape(n_ty * n_tx, -1)
-    order = jnp.argsort(~mask, axis=1, stable=True)[:, :capacity].astype(jnp.int32)
-    slot_valid = jnp.take_along_axis(mask, order, axis=1)
+    n = mask.shape[1]
+    cap = min(capacity, n)
+    # compaction without sorting (TPU sorts are slow): the in-bin position of
+    # each item is its prefix count; a one-hot (item, position) contraction
+    # then yields the per-tile slot lists, preserving item order.
+    maskf = mask.astype(jnp.float32)
+    rank = (jnp.cumsum(maskf, axis=1) - maskf).astype(jnp.int32)  # (n_tiles, N)
+    ks = jnp.arange(cap, dtype=jnp.int32)
+    onehot = ((rank[:, :, None] == ks[None, None, :]) & mask[:, :, None]).astype(jnp.float32)
+    ids = jnp.arange(n, dtype=jnp.float32)
+    slots = jnp.einsum("tnk,n->tk", onehot, ids).astype(jnp.int32)
+    slot_valid = jnp.sum(onehot, axis=1) > 0.5
     counts = jnp.sum(mask, axis=1)
-    return order, slot_valid, counts
+    return slots, slot_valid, counts
 
 
 def find_winners_tiled(
