@@ -188,6 +188,10 @@ def render_scene(
 
     if sigma > 0:
         edges = _build_edge_data(scene, ij_off, signed_area_v, aa_edge_capacity)
+        if tiling is not None and getattr(tiling, "edge_split", 1) > 1:
+            from deodr_tpu.ops.tiled import split_edges
+
+            edges = split_edges(edges, tiling.edge_split, tiling.edge_segment_length)
         cfg = EdgeAAConfig(
             height=height,
             width=width,
@@ -201,7 +205,10 @@ def render_scene(
         if texture is None:
             texture = jnp.zeros((1, 1, scene.colors.shape[1]), scene.colors.dtype)
         if tiling is not None:
-            use_pallas_edges = impl == "pallas" and scene.texture is None
+            # the pallas edge kernel covers the (common) untextured,
+            # non-perspective-correct attribute path; other configs use the
+            # XLA tiled pass
+            use_pallas_edges = impl == "pallas" and scene.texture is None and not scene.perspective_correct
             if use_pallas_edges:
                 from deodr_tpu.ops.tiled import edge_pass_tiled_pallas
 

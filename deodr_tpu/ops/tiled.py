@@ -36,6 +36,13 @@ class TilingConfig(NamedTuple):
     tile_w: int = 64
     triangle_capacity: int = 64
     edge_capacity: int = 32
+    # long silhouette edges are chopped into ≤ edge_split collinear segments
+    # before binning: segment bands have tight bounding boxes, cutting the
+    # wasted coverage of long diagonal bands (the blend result is identical —
+    # the transparency ramp is a line distance and attributes are affine
+    # along the edge, so sub-segments composite to exactly the same values)
+    edge_split: int = 1
+    edge_segment_length: float = 48.0
 
 
 def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, capacity):
@@ -75,6 +82,51 @@ def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, cap
     slot_valid = jnp.sum(onehot, axis=1) > 0.5
     counts = jnp.sum(mask, axis=1)
     return slots, slot_valid, counts
+
+
+def split_edges(edges: EdgeData, n_split: int, segment_length: float) -> EdgeData:
+    """Chop each edge into up to ``n_split`` collinear segments of roughly
+    ``segment_length`` pixels; extra segments of short edges are inactive.
+    Segment order is edge-major so cross-edge depth ordering is preserved
+    (segments of one edge cover disjoint band regions, so their relative
+    order is irrelevant)."""
+    e = edges.v0.shape[0]
+    dtype = edges.v0.dtype
+    length = jnp.sqrt(jnp.sum((edges.v1 - edges.v0) ** 2, axis=1))
+    n_seg = jnp.clip(jnp.ceil(length / segment_length), 1, n_split)  # (E,)
+    ks = jnp.arange(n_split, dtype=dtype)  # (S,)
+    t0 = jnp.minimum(ks[None, :] / n_seg[:, None], 1.0)  # (E, S)
+    t1 = jnp.minimum((ks[None, :] + 1) / n_seg[:, None], 1.0)
+    seg_active = (ks[None, :] < n_seg[:, None]) & edges.active[:, None]
+
+    def lerp(a0, a1, t):
+        extra = a0.ndim - t.ndim
+        tt = t.reshape(t.shape + (1,) * extra)
+        return a0 + tt * (a1 - a0)
+
+    def expand(a0, a1):
+        # (E, ...) pairs → (E*S, ...) segment endpoints
+        a0b = jnp.broadcast_to(a0[:, None], (e, n_split) + a0.shape[1:])
+        s0 = lerp(a0b, jnp.broadcast_to(a1[:, None], a0b.shape), t0)
+        s1 = lerp(a0b, jnp.broadcast_to(a1[:, None], a0b.shape), t1)
+        flat = lambda x: x.reshape((e * n_split,) + a0.shape[1:])
+        return flat(s0), flat(s1)
+
+    v0s, v1s = expand(edges.v0, edges.v1)
+    z0s, z1s = expand(edges.z[:, 0], edges.z[:, 1])
+    a0s, a1s = expand(edges.attrs[:, 0], edges.attrs[:, 1])
+    u0s, u1s = expand(edges.uvs[:, 0], edges.uvs[:, 1])
+    s0s, s1s = expand(edges.shades[:, 0], edges.shades[:, 1])
+    return EdgeData(
+        v0=v0s,
+        v1=v1s,
+        z=jnp.stack([z0s, z1s], axis=1),
+        attrs=jnp.stack([a0s, a1s], axis=1),
+        uvs=jnp.stack([u0s, u1s], axis=1),
+        shades=jnp.stack([s0s, s1s], axis=1),
+        active=seg_active.reshape(-1),
+        use_texture=jnp.repeat(edges.use_texture, n_split),
+    )
 
 
 def find_winners_tiled(
@@ -547,9 +599,10 @@ def suggest_tiling(
     width: int,
     sigma: float = 0.0,
     edgeflags: "np.ndarray" = None,
-    tile_h: int = 64,
+    tile_h: int = None,
     tile_w: int = 64,
     margin: float = 1.5,
+    for_pallas: bool = False,
 ) -> TilingConfig:
     """Eagerly (numpy) estimate per-tile bin occupancies for the given
     projected geometry and return a TilingConfig with power-of-two
@@ -562,6 +615,23 @@ def suggest_tiling(
 
     ij = _np.asarray(ij)
     faces = _np.asarray(faces)
+
+    if for_pallas:
+        # Mosaic block constraints: last dim multiple of 128, second-to-last
+        # multiple of 8
+        tile_w = 128
+    if tile_h is None:
+        # pick the tile height from the typical triangle bbox height: small
+        # triangles want small tiles (less bbox-overlap waste)
+        tri_h = ij[faces][:, :, 1]
+        med_h = float(_np.median(tri_h.max(axis=1) - tri_h.min(axis=1))) if len(faces) else 32.0
+        if med_h <= 12:
+            tile_h = 8
+        elif med_h <= 32:
+            tile_h = 16 if for_pallas else 32
+        else:
+            tile_h = 64
+        tile_h = min(tile_h, max(8, height))
     n_ty = -(-height // tile_h)
     n_tx = -(-width // tile_w)
 
@@ -587,6 +657,8 @@ def suggest_tiling(
     tri_cap = occupancy(x_lo, x_hi, y_lo, y_hi, _np.ones(len(faces), bool))
 
     edge_cap = 8
+    edge_split = 1
+    seg_len = 48.0
     if sigma > 0 and edgeflags is not None and _np.any(edgeflags):
         sub0 = _np.array([1, 2, 0])
         sub1 = _np.array([0, 1, 2])
@@ -595,11 +667,29 @@ def suggest_tiling(
         slot = _np.tile(_np.arange(3), len(faces))[flat]
         i0 = faces[tri_ids, sub0[slot]]
         i1 = faces[tri_ids, sub1[slot]]
-        ex_lo = _np.clip(_np.floor(_np.minimum(ij[i0, 0], ij[i1, 0]) - sigma), 0, width - 1)
-        ex_hi = _np.clip(_np.floor(_np.maximum(ij[i0, 0], ij[i1, 0]) + sigma) + 1, 0, width - 1)
-        ey_lo = _np.clip(_np.floor(_np.minimum(ij[i0, 1], ij[i1, 1]) - sigma) + 1, 0, height - 1)
-        ey_hi = _np.clip(_np.floor(_np.maximum(ij[i0, 1], ij[i1, 1]) + sigma), 0, height - 1)
-        edge_cap = occupancy(ex_lo, ex_hi, ey_lo, ey_hi, _np.ones(len(i0), bool))
+        p0 = ij[i0]
+        p1 = ij[i1]
+        length = _np.sqrt(((p1 - p0) ** 2).sum(axis=1))
+        if len(length) and _np.median(length) > seg_len:
+            edge_split = int(min(8, max(1, _np.ceil(length.max() / seg_len))))
+        if edge_split > 1:
+            # replicate split_edges' segmentation for the occupancy estimate
+            n_seg = _np.clip(_np.ceil(length / seg_len), 1, edge_split)
+            ks = _np.arange(edge_split)
+            t0 = _np.minimum(ks[None, :] / n_seg[:, None], 1.0)
+            t1 = _np.minimum((ks[None, :] + 1) / n_seg[:, None], 1.0)
+            s0 = p0[:, None, :] + t0[:, :, None] * (p1 - p0)[:, None, :]
+            s1 = p0[:, None, :] + t1[:, :, None] * (p1 - p0)[:, None, :]
+            valid = (ks[None, :] < n_seg[:, None]).reshape(-1)
+            p0 = s0.reshape(-1, 2)
+            p1 = s1.reshape(-1, 2)
+        else:
+            valid = _np.ones(len(i0), bool)
+        ex_lo = _np.clip(_np.floor(_np.minimum(p0[:, 0], p1[:, 0]) - sigma), 0, width - 1)
+        ex_hi = _np.clip(_np.floor(_np.maximum(p0[:, 0], p1[:, 0]) + sigma) + 1, 0, width - 1)
+        ey_lo = _np.clip(_np.floor(_np.minimum(p0[:, 1], p1[:, 1]) - sigma) + 1, 0, height - 1)
+        ey_hi = _np.clip(_np.floor(_np.maximum(p0[:, 1], p1[:, 1]) + sigma), 0, height - 1)
+        edge_cap = occupancy(ex_lo, ex_hi, ey_lo, ey_hi, valid)
 
     def bucket(n):
         import math
@@ -611,6 +701,8 @@ def suggest_tiling(
         tile_w=tile_w,
         triangle_capacity=bucket(tri_cap),
         edge_capacity=bucket(edge_cap),
+        edge_split=edge_split,
+        edge_segment_length=seg_len,
     )
 
 
