@@ -71,19 +71,20 @@ def _floor_div_k(num, den, lo, hi):
 
 
 def _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f):
-    """mask, T, b0, b1 for one edge row; all (th, tw)."""
+    """mask, T, b0, b1 for one edge row (``row`` is a scalar accessor:
+    j -> SMEM scalar); all operands (th, tw)."""
     c = cfg.nb_colors
-    b0 = row[_E_B0] * xx + row[_E_B0 + 1] * yy + row[_E_B0 + 2]
-    b1 = row[_E_B1] * xx + row[_E_B1 + 1] * yy + row[_E_B1 + 2]
-    t = row[_E_T] * xx + row[_E_T + 1] * yy + row[_E_T + 2]
+    b0 = row(_E_B0) * xx + row(_E_B0 + 1) * yy + row(_E_B0 + 2)
+    b1 = row(_E_B1) * xx + row(_E_B1 + 1) * yy + row(_E_B1 + 2)
+    t = row(_E_T) * xx + row(_E_T + 1) * yy + row(_E_T + 2)
 
     # the four band inequalities, refined sequentially per row like the
     # reference (x_begin/x_end are (th,) vectors)
     ineq = (
-        (row[_E_B0], row[_E_B0 + 1], row[_E_B0 + 2]),
-        (row[_E_B1], row[_E_B1 + 1], row[_E_B1 + 2]),
-        (row[_E_T], row[_E_T + 1], row[_E_T + 2]),
-        (-row[_E_T], -row[_E_T + 1], 1.0 - row[_E_T + 2]),
+        (row(_E_B0), row(_E_B0 + 1), row(_E_B0 + 2)),
+        (row(_E_B1), row(_E_B1 + 1), row(_E_B1 + 2)),
+        (row(_E_T), row(_E_T + 1), row(_E_T + 2)),
+        (-row(_E_T), -row(_E_T + 1), 1.0 - row(_E_T + 2)),
     )
     yrow = yy[:, 0:1]  # (th, 1): keep 2D for Mosaic-friendly layouts
     x_begin = jnp.zeros_like(yrow)
@@ -93,12 +94,12 @@ def _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f):
         fd = _floor_div_k(num, a, x_begin - 1, x_end + 1)
         x_end = jnp.where(a < 0, jnp.minimum(x_end, fd), x_end)
         x_begin = jnp.where(a < 0, x_begin, jnp.maximum(x_begin, 1 + fd))
-    row_ok = (yrow >= row[_E_YBEG]) & (yrow <= row[_E_YEND])
+    row_ok = (yrow >= row(_E_YBEG)) & (yrow <= row(_E_YEND))
     cov = row_ok & (xx >= x_begin) & (xx <= x_end)
 
-    z0 = row[_E_A0 + 2 * c]
-    z1 = row[_E_A0 + 2 * c + 1]
-    active = row[_E_A0 + 2 * c + 2] > 0.5
+    z0 = row(_E_A0 + 2 * c)
+    z1 = row(_E_A0 + 2 * c + 1)
+    active = row(_E_A0 + 2 * c + 2) > 0.5
     z = b0 * z0 + b1 * z1
     mask = cov & (z < zbuf) & active & jnp.isfinite(t)
     t_safe = jnp.where(mask, t, 0.5)
@@ -117,18 +118,18 @@ def _fwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_in_ref,
     width_f = float(cfg.n_tx * tw)
 
     def body(k, bufs):
-        row = table_ref[0, k, :]
+        row = lambda j: table_ref[0, k, j]
         mask, t, b0, b1 = _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f)
         if cfg.error_mode:
             err = jnp.zeros((th, tw), dtype)
             for ch in range(c):
-                a_ch = b0 * row[_E_A0 + ch] + b1 * row[_E_A0 + c + ch]
+                a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
                 diff = a_ch - obs_ref[ch, :, :]
                 err = err + diff * diff
             return (jnp.where(mask, t * bufs[0] + (1 - t) * err, bufs[0]),)
         new = []
         for ch in range(c):
-            a_ch = b0 * row[_E_A0 + ch] + b1 * row[_E_A0 + c + ch]
+            a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
             new.append(jnp.where(mask, t * bufs[ch] + (1 - t) * a_ch, bufs[ch]))
         return tuple(new)
 
@@ -154,14 +155,14 @@ def _bwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_final_r
     def body(i, carry):
         k = cap - 1 - i
         bufs, gbufs = carry
-        row = table_ref[0, k, :]
+        row = lambda j: table_ref[0, k, j]
         mask, t, b0, b1 = _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f)
 
         if cfg.error_mode:
             a = []
             err = jnp.zeros((th, tw), dtype)
             for ch in range(c):
-                a_ch = b0 * row[_E_A0 + ch] + b1 * row[_E_A0 + c + ch]
+                a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
                 a.append(a_ch)
                 diff = a_ch - obs_ref[ch, :, :]
                 err = err + diff * diff
@@ -176,8 +177,8 @@ def _bwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_final_r
                 g_a = g_err * 2.0 * (a[ch] - obs_ref[ch, :, :])
                 gtable_ref[0, k, 9 + ch] = jnp.sum(g_a * b0)
                 gtable_ref[0, k, 9 + c + ch] = jnp.sum(g_a * b1)
-                g_b0 = g_b0 + g_a * row[_E_A0 + ch]
-                g_b1 = g_b1 + g_a * row[_E_A0 + c + ch]
+                g_b0 = g_b0 + g_a * row(_E_A0 + ch)
+                g_b1 = g_b1 + g_a * row(_E_A0 + c + ch)
             new_bufs = (before0,)
             new_gbufs = (jnp.where(mask, t * g_out, g_out),)
         else:
@@ -188,7 +189,7 @@ def _bwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_final_r
             new_bufs = []
             new_gbufs = []
             for ch in range(c):
-                a_ch = b0 * row[_E_A0 + ch] + b1 * row[_E_A0 + c + ch]
+                a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
                 before = jnp.where(mask, (bufs[ch] - (1 - t) * a_ch) / t, bufs[ch])
                 befores.append(before)
                 g_out = gbufs[ch]
@@ -197,8 +198,8 @@ def _bwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_final_r
                 g_a = g_masked * (1 - t)
                 gtable_ref[0, k, 9 + ch] = jnp.sum(g_a * b0)
                 gtable_ref[0, k, 9 + c + ch] = jnp.sum(g_a * b1)
-                g_b0 = g_b0 + g_a * row[_E_A0 + ch]
-                g_b1 = g_b1 + g_a * row[_E_A0 + c + ch]
+                g_b0 = g_b0 + g_a * row(_E_A0 + ch)
+                g_b1 = g_b1 + g_a * row(_E_A0 + c + ch)
                 new_bufs.append(before)
                 new_gbufs.append(jnp.where(mask, t * g_out, g_out))
             new_bufs = tuple(new_bufs)
@@ -245,7 +246,7 @@ def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs):
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -277,7 +278,7 @@ def _edge_bwd(cfg, residuals, g_out):
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),

@@ -82,15 +82,15 @@ def _pixel_coords(cfg, dtype):
 
 
 def _coverage_and_z(cfg, row, yy, xx):
-    """Exact coverage predicate + affine depth for one setup row; all
-    operands (th, tw)."""
-    valid = row[_S_VALID] > 0.5
-    x_lo = row[_S_XLO]
-    x_hi = row[_S_XHI]
+    """Exact coverage predicate + affine depth for one setup row (``row`` is
+    a scalar accessor: j -> SMEM scalar); all operands (th, tw)."""
+    valid = row(_S_VALID) > 0.5
+    x_lo = row(_S_XLO)
+    x_hi = row(_S_XHI)
     cov = jnp.zeros(yy.shape, jnp.bool_)
     for p in range(2):
-        la, lb, lc = row[_S_LEQ + 3 * p], row[_S_LEQ + 3 * p + 1], row[_S_LEQ + 3 * p + 2]
-        ra, rb, rc = row[_S_REQ + 3 * p], row[_S_REQ + 3 * p + 1], row[_S_REQ + 3 * p + 2]
+        la, lb, lc = row(_S_LEQ + 3 * p), row(_S_LEQ + 3 * p + 1), row(_S_LEQ + 3 * p + 2)
+        ra, rb, rc = row(_S_REQ + 3 * p), row(_S_REQ + 3 * p + 1), row(_S_REQ + 3 * p + 2)
         num_l = -(lb * yy + lc)
         num_r = -(rb * yy + rc)
         if cfg.strict_edge:
@@ -100,9 +100,9 @@ def _coverage_and_z(cfg, row, yy, xx):
         t_r = _floor_div_k(num_r, ra, x_lo - 1, x_hi)
         x_begin = jnp.maximum(x_lo, t_l)
         x_end = jnp.minimum(x_hi, t_r)
-        row_ok = (yy >= row[_S_YLO0 + p]) & (yy <= row[_S_YHI0 + p])
+        row_ok = (yy >= row(_S_YLO0 + p)) & (yy <= row(_S_YHI0 + p))
         cov = cov | (row_ok & (xx >= x_begin) & (xx <= x_end))
-    zlin = row[_S_Z] * xx + row[_S_Z + 1] * yy + row[_S_Z + 2]
+    zlin = row(_S_Z) * xx + row(_S_Z + 1) * yy + row(_S_Z + 2)
     z = 1.0 / zlin if cfg.perspective_correct else zlin
     return cov & valid & jnp.isfinite(z), z
 
@@ -115,16 +115,15 @@ def _fwd_kernel(cfg: PallasRasterConfig, setup_ref, affine_ref, slot_ref, z_ref,
 
     def body(k, carry):
         best_z, best_slot, vals = carry
-        row = setup_ref[0, k, :]
+        row = lambda j: setup_ref[0, k, j]
         cov, z = _coverage_and_z(cfg, row, yy, xx)
         z_eff = jnp.where(cov, z, big)
         better = z_eff < best_z
         best_z = jnp.where(better, z_eff, best_z)
         best_slot = jnp.where(better, k, best_slot)
-        arow = affine_ref[0, k, :]
         new_vals = []
         for j in range(d):
-            vk = arow[j] * xx + arow[d + j] * yy + arow[2 * d + j]
+            vk = affine_ref[0, k, j] * xx + affine_ref[0, k, d + j] * yy + affine_ref[0, k, 2 * d + j]
             new_vals.append(jnp.where(better, vk, vals[j]))
         return best_z, best_slot, tuple(new_vals)
 
@@ -180,8 +179,10 @@ def _raster_fwd_call(cfg, affine_tile, setup_tile):
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, cap, SETUP_WIDTH), tile_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap + 1, 3 * d), tile_idx, memory_space=pltpu.VMEM),
+            # per-slot scalar tables live in SMEM: the winner loop reads them
+            # scalar-by-scalar on the scalar core, which is slow from VMEM
+            pl.BlockSpec((1, cap, SETUP_WIDTH), tile_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap + 1, 3 * d), tile_idx, memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),

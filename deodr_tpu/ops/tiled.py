@@ -603,6 +603,7 @@ def suggest_tiling(
     tile_w: int = 64,
     margin: float = 1.5,
     for_pallas: bool = False,
+    bucket_mode: str = "pow2",
 ) -> TilingConfig:
     """Eagerly (numpy) estimate per-tile bin occupancies for the given
     projected geometry and return a TilingConfig with power-of-two
@@ -694,7 +695,10 @@ def suggest_tiling(
     def bucket(n):
         import math
 
-        return max(8, int(2 ** math.ceil(math.log2(max(1, int(n * margin))))))
+        n = max(1, int(math.ceil(n * margin)))
+        if bucket_mode == "exact":
+            return max(8, -(-n // 8) * 8)  # round up to a multiple of 8
+        return max(8, int(2 ** math.ceil(math.log2(n))))
 
     return TilingConfig(
         tile_h=tile_h,
