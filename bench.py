@@ -82,10 +82,23 @@ def main():
     from deodr_tpu.ops.render import render_scene
     from deodr_tpu.ops.tiled import TilingConfig
 
+    from deodr_tpu.ops.tiled import suggest_tiling
+
     height = width = 512
     scene = build_scene(height, width)
     obs = jnp.zeros((height, width, 3), jnp.float32)
-    tiling = TilingConfig(tile_h=64, tile_w=128, triangle_capacity=48, edge_capacity=64)
+    tiling = suggest_tiling(
+        np.asarray(scene.ij),
+        np.asarray(scene.faces),
+        height,
+        width,
+        sigma=1.0,
+        edgeflags=np.ones((scene.faces.shape[0], 3), bool),
+        tile_h=64,
+        margin=1.0,
+        for_pallas=True,
+        bucket_mode="exact",
+    )
     sigma = 1.0
 
     def loss(ij, colors):

@@ -743,7 +743,12 @@ def edge_pass_tiled_pallas(
     c = edges.attrs.shape[-1]
 
     # --- differentiable per-edge stencil coefficient rows ---
-    v0, v1 = edges.v0, edges.v1
+    # degenerate (inactive / zero-length) edges would make the stencil matrix
+    # singular; NaN primals would poison the zero cotangents flowing back
+    # through the matrix-inverse VJP, so substitute a harmless dummy edge
+    v0 = edges.v0
+    degenerate = jnp.sum((edges.v1 - v0) ** 2, axis=1) < 1e-20
+    v1 = jnp.where(degenerate[:, None], v0 + jnp.asarray([1.0, 0.0], edges.v1.dtype), edges.v1)
     if cfg.clockwise:
         n = jnp.stack([v0[:, 1] - v1[:, 1], v1[:, 0] - v0[:, 0]], axis=1)
     else:
@@ -770,7 +775,7 @@ def edge_pass_tiled_pallas(
     y_end = jax.lax.stop_gradient(jnp.minimum(jnp.floor(vy_max + sigma), float(height - 1)))
 
     finite = jnp.all(jnp.isfinite(inv), axis=(1, 2))
-    active = edges.active & finite
+    active = edges.active & finite & ~degenerate
 
     rows = jnp.concatenate(
         [
