@@ -106,7 +106,7 @@ def _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f):
     return mask, t_safe, b0, b1
 
 
-def _fwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_in_ref, buf_out_ref):
+def _fwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, buf_in_ref, buf_out_ref):
     th, tw, cap, c = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.nb_colors
     nch = 1 if cfg.error_mode else c
     dtype = buf_out_ref.dtype
@@ -134,12 +134,13 @@ def _fwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_in_ref,
         return tuple(new)
 
     bufs = tuple(buf_in_ref[ch, :, :] for ch in range(nch))
-    bufs = jax.lax.fori_loop(0, cap, body, bufs)
+    count = jnp.minimum(count_ref[0, 0], cap)
+    bufs = jax.lax.fori_loop(0, count, body, bufs)
     for ch in range(nch):
         buf_out_ref[ch, :, :] = bufs[ch]
 
 
-def _bwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_final_ref, gbuf_in_ref,
+def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, buf_final_ref, gbuf_in_ref,
                 gtable_ref, gbuf0_ref):
     th, tw, cap, c = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.nb_colors
     nch = 1 if cfg.error_mode else c
@@ -152,8 +153,10 @@ def _bwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_final_r
     width_f = float(cfg.n_tx * tw)
     gw = _grad_row_width(c)
 
+    count = jnp.minimum(count_ref[0, 0], cap)
+
     def body(i, carry):
-        k = cap - 1 - i
+        k = count - 1 - i
         bufs, gbufs = carry
         row = lambda j: table_ref[0, k, j]
         mask, t, b0, b1 = _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f)
@@ -218,21 +221,22 @@ def _bwd_kernel(cfg: PallasEdgeConfig, table_ref, zbuf_ref, obs_ref, buf_final_r
 
     bufs = tuple(buf_final_ref[ch, :, :] for ch in range(nch))
     gbufs = tuple(gbuf_in_ref[ch, :, :] for ch in range(nch))
-    bufs, gbufs = jax.lax.fori_loop(0, cap, body, (bufs, gbufs))
+    bufs, gbufs = jax.lax.fori_loop(0, count, body, (bufs, gbufs))
     for ch in range(nch):
         gbuf0_ref[ch, :, :] = gbufs[ch]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def edge_pass_pallas(cfg: PallasEdgeConfig, table_tile, buffer0, z_buffer, obs):
+def edge_pass_pallas(cfg: PallasEdgeConfig, table_tile, buffer0, z_buffer, obs, counts):
     """table_tile (n_tiles, cap, W); buffer0 (nch, H', W'); z_buffer
-    (H', W'); obs (C, H', W') (error mode) → blended buffer (nch, H', W').
+    (H', W'); obs (C, H', W') (error mode); counts (n_tiles, 1) int32 →
+    blended buffer (nch, H', W').
 
     Differentiable in table_tile and buffer0 (z_buffer/obs constant)."""
-    return _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs)
+    return _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs, counts)
 
 
-def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs):
+def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs, counts):
     th, tw, cap, c = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.nb_colors
     nch = buffer0.shape[0]
     dtype = buffer0.dtype
@@ -246,6 +250,7 @@ def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs):
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i * cfg.n_tx + j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -254,16 +259,16 @@ def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs):
         out_specs=pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(buffer0.shape, dtype),
         interpret=cfg.interpret,
-    )(table_tile, z_buffer, obs, buffer0)
+    )(counts, table_tile, z_buffer, obs, buffer0)
 
 
-def _edge_fwd(cfg, table_tile, buffer0, z_buffer, obs):
-    out = _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs)
-    return out, (table_tile, out, z_buffer, obs)
+def _edge_fwd(cfg, table_tile, buffer0, z_buffer, obs, counts):
+    out = _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs, counts)
+    return out, (table_tile, out, z_buffer, obs, counts)
 
 
 def _edge_bwd(cfg, residuals, g_out):
-    table_tile, final, z_buffer, obs = residuals
+    table_tile, final, z_buffer, obs, counts = residuals
     th, tw, cap, c = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.nb_colors
     nch = final.shape[0]
     dtype = final.dtype
@@ -278,6 +283,7 @@ def _edge_bwd(cfg, residuals, g_out):
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i * cfg.n_tx + j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -293,7 +299,12 @@ def _edge_bwd(cfg, residuals, g_out):
             jax.ShapeDtypeStruct(final.shape, dtype),
         ],
         interpret=cfg.interpret,
-    )(table_tile, z_buffer, obs, final, g_out)
+    )(counts, table_tile, z_buffer, obs, final, g_out)
+
+    # rows past each tile's count are uninitialized
+    ks = jnp.arange(cap, dtype=jnp.int32)
+    row_valid = ks[None, :] < jnp.minimum(counts, cap)
+    g_table = jnp.where(row_valid[:, :, None], g_table, 0.0)
 
     # expand gradient rows to the full table width (non-diff columns zero)
     pad_cols = ew - gw
@@ -306,7 +317,7 @@ def _edge_bwd(cfg, residuals, g_out):
         ],
         axis=2,
     )
-    return g_table_full, g_buf0, jnp.zeros_like(z_buffer), jnp.zeros_like(obs)
+    return g_table_full, g_buf0, jnp.zeros_like(z_buffer), jnp.zeros_like(obs), None
 
 
 edge_pass_pallas.defvjp(_edge_fwd, _edge_bwd)

@@ -107,11 +107,12 @@ def _coverage_and_z(cfg, row, yy, xx):
     return cov & valid & jnp.isfinite(z), z
 
 
-def _fwd_kernel(cfg: PallasRasterConfig, setup_ref, affine_ref, slot_ref, z_ref, vals_ref):
+def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_ref, z_ref, vals_ref):
     th, tw, cap, d = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.n_attr
     dtype = z_ref.dtype
     yy, xx = _pixel_coords(cfg, dtype)
     big = jnp.asarray(jnp.inf, dtype)
+    count = jnp.minimum(count_ref[0, 0], cap)
 
     def body(k, carry):
         best_z, best_slot, vals = carry
@@ -132,18 +133,21 @@ def _fwd_kernel(cfg: PallasRasterConfig, setup_ref, affine_ref, slot_ref, z_ref,
         jnp.full((th, tw), cap, jnp.int32),
         tuple(jnp.zeros((th, tw), dtype) for _ in range(d)),
     )
-    best_z, best_slot, vals = jax.lax.fori_loop(0, cap, body, init)
+    # dynamic trip count: compute scales with the tile's actual occupancy,
+    # not the worst-case capacity
+    best_z, best_slot, vals = jax.lax.fori_loop(0, count, body, init)
     slot_ref[:, :] = best_slot
     z_ref[:, :] = best_z
     for j in range(d):
         vals_ref[j, :, :] = vals[j]
 
 
-def _bwd_kernel(cfg: PallasRasterConfig, slot_ref, gvals_ref, gtable_ref):
+def _bwd_kernel(cfg: PallasRasterConfig, count_ref, slot_ref, gvals_ref, gtable_ref):
     th, tw, cap, d = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.n_attr
     dtype = gvals_ref.dtype
     yy, xx = _pixel_coords(cfg, dtype)
     best_slot = slot_ref[:, :]
+    count = jnp.minimum(count_ref[0, 0], cap)
 
     def body(k, _):
         mask = (best_slot == k).astype(dtype)
@@ -154,20 +158,19 @@ def _bwd_kernel(cfg: PallasRasterConfig, slot_ref, gvals_ref, gtable_ref):
             gtable_ref[0, k, 2 * d + j] = jnp.sum(gm)
         return 0
 
-    jax.lax.fori_loop(0, cap, body, 0)
-    # the miss row receives no gradient
-    for j in range(3 * d):
-        gtable_ref[0, cap, j] = jnp.asarray(0.0, dtype)
+    # rows >= count stay uninitialized; the XLA wrapper masks them out
+    jax.lax.fori_loop(0, count, body, 0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def raster_eval_pallas(cfg: PallasRasterConfig, affine_tile, setup_tile):
-    """(affine_tile (n_tiles, cap+1, 3D), setup_tile (n_tiles, cap, S)) →
-    (slot_map (H', W'), z (H', W'), vals (D, H', W'))."""
-    return _raster_fwd_call(cfg, affine_tile, setup_tile)
+def raster_eval_pallas(cfg: PallasRasterConfig, affine_tile, setup_tile, counts):
+    """(affine_tile (n_tiles, cap+1, 3D), setup_tile (n_tiles, cap, S),
+    counts (n_tiles, 1) int32) → (slot_map (H', W'), z (H', W'),
+    vals (D, H', W'))."""
+    return _raster_fwd_call(cfg, affine_tile, setup_tile, counts)
 
 
-def _raster_fwd_call(cfg, affine_tile, setup_tile):
+def _raster_fwd_call(cfg, affine_tile, setup_tile, counts):
     th, tw, cap, d = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.n_attr
     dtype = affine_tile.dtype
     grid = (cfg.n_ty, cfg.n_tx)
@@ -179,6 +182,7 @@ def _raster_fwd_call(cfg, affine_tile, setup_tile):
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i * cfg.n_tx + j, 0), memory_space=pltpu.SMEM),
             # per-slot scalar tables live in SMEM: the winner loop reads them
             # scalar-by-scalar on the scalar core, which is slow from VMEM
             pl.BlockSpec((1, cap, SETUP_WIDTH), tile_idx, memory_space=pltpu.SMEM),
@@ -195,18 +199,18 @@ def _raster_fwd_call(cfg, affine_tile, setup_tile):
             jax.ShapeDtypeStruct((d, cfg.n_ty * th, cfg.n_tx * tw), dtype),
         ],
         interpret=cfg.interpret,
-    )(setup_tile, affine_tile)
+    )(counts, setup_tile, affine_tile)
     return slot_map, z, vals
 
 
-def _raster_fwd(cfg, affine_tile, setup_tile):
-    out = _raster_fwd_call(cfg, affine_tile, setup_tile)
+def _raster_fwd(cfg, affine_tile, setup_tile, counts):
+    out = _raster_fwd_call(cfg, affine_tile, setup_tile, counts)
     slot_map, _, _ = out
-    return out, (slot_map,)
+    return out, (slot_map, counts)
 
 
 def _raster_bwd(cfg, residuals, cotangents):
-    (slot_map,) = residuals
+    slot_map, counts = residuals
     _, _, g_vals = cotangents
     th, tw, cap, d = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.n_attr
     dtype = g_vals.dtype
@@ -216,6 +220,7 @@ def _raster_bwd(cfg, residuals, cotangents):
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i * cfg.n_tx + j, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
@@ -226,8 +231,12 @@ def _raster_bwd(cfg, residuals, cotangents):
         ),
         out_shape=jax.ShapeDtypeStruct((cfg.n_ty * cfg.n_tx, cap + 1, 3 * d), dtype),
         interpret=cfg.interpret,
-    )(slot_map, g_vals)
-    return g_table, None
+    )(counts, slot_map, g_vals)
+    # rows past each tile's count (incl. the miss row) are uninitialized
+    ks = jnp.arange(cap + 1, dtype=jnp.int32)
+    row_valid = ks[None, :] < jnp.minimum(counts, cap)
+    g_table = jnp.where(row_valid[:, :, None], g_table, 0.0)
+    return g_table, None, None
 
 
 raster_eval_pallas.defvjp(_raster_fwd, _raster_bwd)

@@ -585,7 +585,8 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
         tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, n_attr=d_total,
         strict_edge=scene.strict_edge, perspective_correct=persp, interpret=interpret,
     )
-    slot_map, z_pad, vals_pad = raster_eval_pallas(cfg, affine_tile, setup_tile)
+    counts_i = counts.astype(jnp.int32)[:, None]
+    slot_map, z_pad, vals_pad = raster_eval_pallas(cfg, affine_tile, setup_tile, counts_i)
     z_buffer = z_pad[:height, :width]
     vals = jnp.moveaxis(vals_pad, 0, -1)[:height, :width, :]
     image = _finish_shading(scene, vals, z_buffer, background)
@@ -825,7 +826,7 @@ def edge_pass_tiled_pallas(
         tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, nb_colors=c,
         error_mode=cfg.error_mode, interpret=interpret,
     )
-    out_pad = edge_pass_pallas(kcfg, table_tile, buf_pad, z_pad, obs_pad)
+    out_pad = edge_pass_pallas(kcfg, table_tile, buf_pad, z_pad, obs_pad, counts.astype(jnp.int32)[:, None])
     if cfg.error_mode:
         out = out_pad[0, :height, :width]
     else:
