@@ -12,7 +12,12 @@ from __future__ import annotations
 from typing import Iterable, Optional, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+# TPU matmuls round fp32 inputs to bf16 at default precision; vertex
+# positions need full fp32 everywhere
+_HI = jax.lax.Precision.HIGHEST
 
 
 def project_points_arrays(extrinsic, intrinsic, distortion, points_3d):
@@ -26,7 +31,7 @@ def project_points_arrays(extrinsic, intrinsic, distortion, points_3d):
     """
     r = extrinsic[:3, :3]
     t = extrinsic[:3, 3]
-    p_camera = points_3d @ r.T + t
+    p_camera = jnp.matmul(points_3d, r.T, precision=_HI) + t
     depths = p_camera[:, 2]
     projected = p_camera[:, :2] / depths[:, None]
     if distortion is not None:
@@ -40,7 +45,7 @@ def project_points_arrays(extrinsic, intrinsic, distortion, points_3d):
         tang_x = 2 * p1 * x * y + p2 * (r2 + 2 * x2)
         tang_y = p1 * (r2 + 2 * y2) + 2 * p2 * x * y
         projected = jnp.column_stack((x * radial + tang_x, y * radial + tang_y))
-    ij = projected @ intrinsic[:2, :2].T + intrinsic[:2, 2]
+    ij = jnp.matmul(projected, intrinsic[:2, :2].T, precision=_HI) + intrinsic[:2, 2]
     return ij, depths
 
 
@@ -87,7 +92,7 @@ class Camera:
     def world_to_camera(self, points_3d: jnp.ndarray) -> jnp.ndarray:
         r = jnp.asarray(self.extrinsic[:3, :3])
         t = jnp.asarray(self.extrinsic[:3, 3])
-        return points_3d @ r.T + t
+        return jnp.matmul(points_3d, r.T, precision=_HI) + t
 
     def camera_to_world_mtx_4x4(self) -> np.ndarray:
         return np.vstack(
@@ -99,7 +104,7 @@ class Camera:
 
     def left_mul_intrinsic(self, projected: jnp.ndarray) -> jnp.ndarray:
         k = jnp.asarray(self.intrinsic)
-        return projected @ k[:2, :2].T + k[:2, 2]
+        return jnp.matmul(projected, k[:2, :2].T, precision=_HI) + k[:2, 2]
 
     def project_points(self, points_3d: jnp.ndarray, return_depths: bool = True, store_backward=None):
         """world → distorted pixel coordinates (x=column, y=row), and depths.

@@ -201,12 +201,16 @@ def _edge_pass_bwd(cfg, residuals, g):
         mask, t, a_px = _edge_fragment(cfg, edge, z_buffer, texture, obs)
         # reconstruct the pre-blend buffer by inverting the blend
         # (reference: C++/DifferentiableRenderer.h:1738)
+        # floor |t| for the unblend division: the exact rational x-range test
+        # can admit a pixel whose fp32 t evaluates to exactly 0
+        eps = 1e-6
+        t_div = jnp.where(jnp.abs(t) < eps, jnp.where(t < 0, -eps, eps), t)
         if cfg.error_mode:
             err = jnp.sum((a_px - jnp.where(mask[..., None], obs, 0.0)) ** 2, axis=-1)
-            buf_before = jnp.where(mask, (buf_after - (1 - t) * err) / t, buf_after)
+            buf_before = jnp.where(mask, (buf_after - (1 - t) * err) / t_div, buf_after)
         else:
-            tm = t[..., None]
-            buf_before = jnp.where(mask[..., None], (buf_after - (1 - tm) * a_px) / tm, buf_after)
+            tm = t_div[..., None]
+            buf_before = jnp.where(mask[..., None], (buf_after - (1 - t[..., None]) * a_px) / tm, buf_after)
 
         def f(buf, e, tex):
             return _blend_step(cfg, buf, e, z_buffer, tex, obs)

@@ -106,6 +106,15 @@ def _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f):
     return mask, t_safe, b0, b1
 
 
+def _t_div(t):
+    """Division-safe transparency: the exact rational x-range test can admit
+    a pixel whose fp32 T evaluates to exactly 0, so floor |T| for the
+    backward's unblend division (the reference divides in float64 where this
+    is measure-zero; reference: C++/DifferentiableRenderer.h:1738)."""
+    eps = 1e-6
+    return jnp.where(jnp.abs(t) < eps, jnp.where(t < 0, -eps, eps), t)
+
+
 def _fwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, buf_in_ref, buf_out_ref):
     th, tw, cap, c = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.nb_colors
     nch = 1 if cfg.error_mode else c
@@ -134,7 +143,8 @@ def _fwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
         return tuple(new)
 
     bufs = tuple(buf_in_ref[ch, :, :] for ch in range(nch))
-    count = jnp.minimum(count_ref[0, 0], cap)
+    tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
+    count = jnp.minimum(count_ref[tile_id, 0], cap)
     bufs = jax.lax.fori_loop(0, count, body, bufs)
     for ch in range(nch):
         buf_out_ref[ch, :, :] = bufs[ch]
@@ -153,7 +163,8 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
     width_f = float(cfg.n_tx * tw)
     gw = _grad_row_width(c)
 
-    count = jnp.minimum(count_ref[0, 0], cap)
+    tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
+    count = jnp.minimum(count_ref[tile_id, 0], cap)
 
     def body(i, carry):
         k = count - 1 - i
@@ -169,7 +180,7 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
                 a.append(a_ch)
                 diff = a_ch - obs_ref[ch, :, :]
                 err = err + diff * diff
-            before0 = jnp.where(mask, (bufs[0] - (1 - t) * err) / t, bufs[0])
+            before0 = jnp.where(mask, (bufs[0] - (1 - t) * err) / _t_div(t), bufs[0])
             g_out = gbufs[0]
             g_masked = jnp.where(mask, g_out, 0.0)
             g_t = g_masked * (before0 - err)
@@ -193,7 +204,7 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
             new_gbufs = []
             for ch in range(c):
                 a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
-                before = jnp.where(mask, (bufs[ch] - (1 - t) * a_ch) / t, bufs[ch])
+                before = jnp.where(mask, (bufs[ch] - (1 - t) * a_ch) / _t_div(t), bufs[ch])
                 befores.append(before)
                 g_out = gbufs[ch]
                 g_masked = jnp.where(mask, g_out, 0.0)
@@ -250,7 +261,7 @@ def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs, counts):
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i * cfg.n_tx + j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cfg.n_ty * cfg.n_tx, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -283,7 +294,7 @@ def _edge_bwd(cfg, residuals, g_out):
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i * cfg.n_tx + j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cfg.n_ty * cfg.n_tx, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),

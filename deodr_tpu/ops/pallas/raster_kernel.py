@@ -112,7 +112,8 @@ def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_
     dtype = z_ref.dtype
     yy, xx = _pixel_coords(cfg, dtype)
     big = jnp.asarray(jnp.inf, dtype)
-    count = jnp.minimum(count_ref[0, 0], cap)
+    tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
+    count = jnp.minimum(count_ref[tile_id, 0], cap)
 
     def body(k, carry):
         best_z, best_slot, vals = carry
@@ -147,7 +148,8 @@ def _bwd_kernel(cfg: PallasRasterConfig, count_ref, slot_ref, gvals_ref, gtable_
     dtype = gvals_ref.dtype
     yy, xx = _pixel_coords(cfg, dtype)
     best_slot = slot_ref[:, :]
-    count = jnp.minimum(count_ref[0, 0], cap)
+    tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
+    count = jnp.minimum(count_ref[tile_id, 0], cap)
 
     def body(k, _):
         mask = (best_slot == k).astype(dtype)
@@ -182,7 +184,9 @@ def _raster_fwd_call(cfg, affine_tile, setup_tile, counts):
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i * cfg.n_tx + j, 0), memory_space=pltpu.SMEM),
+            # whole counts vector in SMEM (Mosaic requires sub-array blocks to
+            # be 8x128-aligned even in SMEM; the full array is exempt)
+            pl.BlockSpec((cfg.n_ty * cfg.n_tx, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             # per-slot scalar tables live in SMEM: the winner loop reads them
             # scalar-by-scalar on the scalar core, which is slow from VMEM
             pl.BlockSpec((1, cap, SETUP_WIDTH), tile_idx, memory_space=pltpu.SMEM),
@@ -220,7 +224,7 @@ def _raster_bwd(cfg, residuals, cotangents):
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i * cfg.n_tx + j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((cfg.n_ty * cfg.n_tx, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],

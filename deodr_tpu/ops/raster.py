@@ -109,7 +109,7 @@ def triangle_row_setup(
 
     xy1_to_bary = barycentric_matrices(v_xy)  # (T, 3, 3)
     z_src = 1.0 / v_z if perspective_correct else v_z
-    z_coef = jnp.einsum("tk,tkj->tj", z_src, xy1_to_bary)
+    z_coef = jnp.einsum("tk,tkj->tj", z_src, xy1_to_bary, precision=jax.lax.Precision.HIGHEST)
 
     finite = jnp.all(jnp.isfinite(xy1_to_bary), axis=(1, 2)) & jnp.all(jnp.isfinite(z_coef), axis=1)
     return TriangleRowSetup(y_lo, y_hi, left_eq, right_eq, x_lo, x_hi, z_coef, draw & finite)
@@ -212,9 +212,9 @@ def interpolate_at_pixels(bary, corner_vals, corner_z, perspective_correct: bool
     if perspective_correct:
         inv_z = 1.0 / corner_z
         big_z = 1.0 / jnp.sum(bary * inv_z, axis=-1)
-        out = jnp.einsum("...k,...kc->...c", bary * inv_z, corner_vals) * big_z[..., None]
+        out = jnp.einsum("...k,...kc->...c", bary * inv_z, corner_vals, precision=jax.lax.Precision.HIGHEST) * big_z[..., None]
     else:
-        out = jnp.einsum("...k,...kc->...c", bary, corner_vals)
+        out = jnp.einsum("...k,...kc->...c", bary, corner_vals, precision=jax.lax.Precision.HIGHEST)
     return out[..., 0] if squeeze else out
 
 
@@ -255,7 +255,7 @@ def shade_pixels(
     )  # (H, W, 3)
 
     xy1_to_bary = barycentric_matrices(v_xy)  # (H, W, 3, 3)
-    bary = jnp.einsum("hwkj,hwj->hwk", xy1_to_bary, p)
+    bary = jnp.einsum("hwkj,hwj->hwk", xy1_to_bary, p, precision=jax.lax.Precision.HIGHEST)
 
     colors_px = interpolate_at_pixels(bary, colors[f], v_z, perspective_correct)  # (H, W, C)
 

@@ -295,7 +295,7 @@ def _build_edge_data(
         rank = (jnp.cumsum(activef) - activef).astype(jnp.int32)
         ks = jnp.arange(aa_edge_capacity, dtype=jnp.int32)
         onehot = ((rank[:, None] == ks[None, :]) & active[:, None]).astype(jnp.float32)
-        perm = jnp.einsum("nk,n->k", onehot, jnp.arange(3 * nt, dtype=jnp.float32)).astype(jnp.int32)
+        perm = jnp.einsum("nk,n->k", onehot, jnp.arange(3 * nt, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
         got = jnp.sum(onehot, axis=0) > 0.5
         edges = jax.tree.map(lambda a: a[perm], edges)
         edges = edges._replace(active=edges.active & got)
@@ -315,7 +315,7 @@ def _order_descending(keys: jnp.ndarray) -> jnp.ndarray:
     gt = (keys[None, :] > keys[:, None]) | ((keys[None, :] == keys[:, None]) & (idx[None, :] < idx[:, None]))
     rank = jnp.sum(gt, axis=1).astype(jnp.int32)  # position of item i in the output
     onehot = (rank[:, None] == idx[None, :]).astype(jnp.float32)
-    return jnp.einsum("ip,i->p", onehot, idx.astype(jnp.float32)).astype(jnp.int32)
+    return jnp.einsum("ip,i->p", onehot, idx.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling"))

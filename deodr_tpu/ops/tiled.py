@@ -78,7 +78,7 @@ def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, cap
     ks = jnp.arange(cap, dtype=jnp.int32)
     onehot = ((rank[:, :, None] == ks[None, None, :]) & mask[:, :, None]).astype(jnp.float32)
     ids = jnp.arange(n, dtype=jnp.float32)
-    slots = jnp.einsum("tnk,n->tk", onehot, ids).astype(jnp.int32)
+    slots = jnp.einsum("tnk,n->tk", onehot, ids, precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     slot_valid = jnp.sum(onehot, axis=1) > 0.5
     counts = jnp.sum(mask, axis=1)
     return slots, slot_valid, counts
@@ -318,10 +318,10 @@ def rasterize_tiled(
     corner = jnp.concatenate(corner_list, axis=-1)  # (T, 3, D)
     if persp:
         corner = corner / v_z[..., None]
-    affine = jnp.einsum("tkd,tkj->tdj", corner, xy1_to_bary)  # (T, D, 3)
+    affine = jnp.einsum("tkd,tkj->tdj", corner, xy1_to_bary, precision=jax.lax.Precision.HIGHEST)  # (T, D, 3)
     n_attr = affine.shape[1]
     if persp:
-        z_row = jnp.einsum("tk,tkj->tj", 1.0 / v_z, xy1_to_bary)[:, None, :]  # (T, 1, 3)
+        z_row = jnp.einsum("tk,tkj->tj", 1.0 / v_z, xy1_to_bary, precision=jax.lax.Precision.HIGHEST)[:, None, :]  # (T, 1, 3)
         affine = jnp.concatenate([affine, z_row], axis=1)
     if has_texture:
         flagv = (scene.textured & scene.shaded).astype(dtype)
@@ -342,7 +342,7 @@ def rasterize_tiled(
         xx = (tx * tw + jnp.arange(tw)).astype(dtype)
         table = affine_flat[jnp.concatenate([tri_slots, jnp.full((1,), affine_flat.shape[0] - 1, jnp.int32)])]
         onehot = (slot_px.reshape(-1)[:, None] == jnp.arange(cap + 1, dtype=jnp.int32)[None, :]).astype(dtype)
-        px = jnp.dot(onehot, table, preferred_element_type=dtype)  # (P, D*3)
+        px = jnp.dot(onehot, table, preferred_element_type=dtype, precision=jax.lax.Precision.HIGHEST)  # (P, D*3)
         px = px.reshape(th * tw, d_total, 3)
         x_flat = jnp.broadcast_to(xx[None, :], (th, tw)).reshape(-1)
         y_flat = jnp.broadcast_to(yy[:, None], (th, tw)).reshape(-1)
@@ -478,9 +478,9 @@ def _affine_attribute_maps(scene, v_xy, v_z):
     corner = jnp.concatenate(corner_list, axis=-1)
     if persp:
         corner = corner / v_z[..., None]
-    affine = jnp.einsum("tkd,tkj->tdj", corner, xy1_to_bary)
+    affine = jnp.einsum("tkd,tkj->tdj", corner, xy1_to_bary, precision=jax.lax.Precision.HIGHEST)
     if persp:
-        z_row = jnp.einsum("tk,tkj->tj", 1.0 / v_z, xy1_to_bary)[:, None, :]
+        z_row = jnp.einsum("tk,tkj->tj", 1.0 / v_z, xy1_to_bary, precision=jax.lax.Precision.HIGHEST)[:, None, :]
         affine = jnp.concatenate([affine, z_row], axis=1)
     if has_texture:
         flagv = (scene.textured & scene.shaded).astype(dtype)
