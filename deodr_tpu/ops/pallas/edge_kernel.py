@@ -21,11 +21,19 @@ and reduces the pixel cotangents into per-slot gradients of the stencil
 coefficient rows (b0, b1, T rows) and endpoint attributes. XLA chains those
 to vertex positions through the (differentiable) stencil matrix inverse.
 
-Edge-table row layout (width = 11 + 2·C + 3):
+Edge-table row layout (width = 11 + 3·C + 4):
   [b0 coeffs (3) | b1 coeffs (3) | t coeffs (3) | y_begin | y_end |
-   attrs0 (C) | attrs1 (C) | z0 | z1 | active]
-Gradient-table row layout (width = 9 + 2·C):
-  [g_b0 (3) | g_b1 (3) | g_t (3) | g_attrs0 (C) | g_attrs1 (C)]
+   a coeffs (3 per channel: ax, ay, ac) | z coeffs (3) | active]
+
+The per-channel edge color a_ch = b0·attrs0[ch] + b1·attrs1[ch] and the
+depth z = b0·z0 + b1·z1 are affine in (x, y); their coefficients are folded
+in XLA *before* the kernel (differentiably — gradients to endpoint
+positions/attributes chain through the fold), so the kernel evaluates one
+fma per plane and the b0/b1 rows are used only for the band-clip
+inequalities (whose boundary is non-differentiable, as in the reference).
+
+Gradient-table row layout (width = 3 + 3·C):
+  [g_t (3) | g_a coeffs (3 per channel)]
 """
 
 from __future__ import annotations
@@ -51,16 +59,24 @@ class PallasEdgeConfig(NamedTuple):
 
 
 def edge_row_width(nb_colors: int) -> int:
-    return 11 + 2 * nb_colors + 3
+    return 11 + 3 * nb_colors + 4
 
 
 _E_B0, _E_B1, _E_T = 0, 3, 6
 _E_YBEG, _E_YEND = 9, 10
-_E_A0 = 11
+_E_A = 11  # 3 columns (ax, ay, ac) per channel
+
+
+def _e_z(nb_colors: int) -> int:
+    return 11 + 3 * nb_colors
+
+
+def _e_act(nb_colors: int) -> int:
+    return 14 + 3 * nb_colors
 
 
 def _grad_row_width(nb_colors: int) -> int:
-    return 9 + 2 * nb_colors
+    return 3 + 3 * nb_colors
 
 
 def _floor_div_k(num, den, lo, hi):
@@ -70,23 +86,28 @@ def _floor_div_k(num, den, lo, hi):
     return jnp.where(den == 0, q0, q)
 
 
-def _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f):
-    """mask, T, b0, b1 for one edge row (``row`` is a scalar accessor:
-    j -> SMEM scalar); all operands (th, tw)."""
+def _affine_plane(xc, yc, cc, yrow, xx):
+    """Evaluate the affine map xc·x + yc·y + cc on the tile: the y-part is a
+    (th, 1) column, only one fma runs on the full (th, tw) grid."""
+    return xc * xx + (yc * yrow + cc)
+
+
+def _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f):
+    """Blend mask and transparency plane T for one edge row (``row`` is a
+    scalar accessor: j -> SMEM scalar). b0/b1 planes are never materialized:
+    they only enter the band-clip inequalities (evaluated on (th, 1) rows);
+    the depth plane uses the XLA-prefolded z coefficients."""
     c = cfg.nb_colors
-    b0 = row(_E_B0) * xx + row(_E_B0 + 1) * yy + row(_E_B0 + 2)
-    b1 = row(_E_B1) * xx + row(_E_B1 + 1) * yy + row(_E_B1 + 2)
-    t = row(_E_T) * xx + row(_E_T + 1) * yy + row(_E_T + 2)
+    t = _affine_plane(row(_E_T), row(_E_T + 1), row(_E_T + 2), yrow, xx)
 
     # the four band inequalities, refined sequentially per row like the
-    # reference (x_begin/x_end are (th,) vectors)
+    # reference (x_begin/x_end are (th, 1) columns)
     ineq = (
         (row(_E_B0), row(_E_B0 + 1), row(_E_B0 + 2)),
         (row(_E_B1), row(_E_B1 + 1), row(_E_B1 + 2)),
         (row(_E_T), row(_E_T + 1), row(_E_T + 2)),
         (-row(_E_T), -row(_E_T + 1), 1.0 - row(_E_T + 2)),
     )
-    yrow = yy[:, 0:1]  # (th, 1): keep 2D for Mosaic-friendly layouts
     x_begin = jnp.zeros_like(yrow)
     x_end = jnp.full_like(yrow, width_f - 1.0)
     for a, b, cc in ineq:
@@ -97,13 +118,17 @@ def _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f):
     row_ok = (yrow >= row(_E_YBEG)) & (yrow <= row(_E_YEND))
     cov = row_ok & (xx >= x_begin) & (xx <= x_end)
 
-    z0 = row(_E_A0 + 2 * c)
-    z1 = row(_E_A0 + 2 * c + 1)
-    active = row(_E_A0 + 2 * c + 2) > 0.5
-    z = b0 * z0 + b1 * z1
+    zc = _e_z(c)
+    active = row(_e_act(c)) > 0.5
+    z = _affine_plane(row(zc), row(zc + 1), row(zc + 2), yrow, xx)
     mask = cov & (z < zbuf) & active & jnp.isfinite(t)
     t_safe = jnp.where(mask, t, 0.5)
-    return mask, t_safe, b0, b1
+    return mask, t_safe
+
+
+def _attr_plane(row, ch, c, yrow, xx):
+    """Channel value a_ch from its XLA-prefolded affine coefficients."""
+    return _affine_plane(row(_E_A + 3 * ch), row(_E_A + 3 * ch + 1), row(_E_A + 3 * ch + 2), yrow, xx)
 
 
 def _t_div(t):
@@ -121,25 +146,25 @@ def _fwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
     dtype = buf_out_ref.dtype
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    yy = (ty * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)).astype(dtype)
+    yrow = (ty * th + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)).astype(dtype)
     xx = (tx * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)).astype(dtype)
     zbuf = zbuf_ref[:, :]
     width_f = float(cfg.n_tx * tw)
 
     def body(k, bufs):
         row = lambda j: table_ref[0, k, j]
-        mask, t, b0, b1 = _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f)
+        mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
         if cfg.error_mode:
             err = jnp.zeros((th, tw), dtype)
             for ch in range(c):
-                a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
-                diff = a_ch - obs_ref[ch, :, :]
+                diff = _attr_plane(row, ch, c, yrow, xx) - obs_ref[ch, :, :]
                 err = err + diff * diff
-            return (jnp.where(mask, t * bufs[0] + (1 - t) * err, bufs[0]),)
+            # t·buf + (1−t)·err rewritten as err + t·(buf − err): 2 ops/px
+            return (jnp.where(mask, err + t * (bufs[0] - err), bufs[0]),)
         new = []
         for ch in range(c):
-            a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
-            new.append(jnp.where(mask, t * bufs[ch] + (1 - t) * a_ch, bufs[ch]))
+            a_ch = _attr_plane(row, ch, c, yrow, xx)
+            new.append(jnp.where(mask, a_ch + t * (bufs[ch] - a_ch), bufs[ch]))
         return tuple(new)
 
     bufs = tuple(buf_in_ref[ch, :, :] for ch in range(nch))
@@ -151,13 +176,13 @@ def _fwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
 
 
 def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, buf_final_ref, gbuf_in_ref,
-                gtable_ref, gbuf0_ref):
+                gtable_ref, gbuf0_ref, scratch_ref):
     th, tw, cap, c = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.nb_colors
     nch = 1 if cfg.error_mode else c
     dtype = gbuf0_ref.dtype
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    yy = (ty * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)).astype(dtype)
+    yrow = (ty * th + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)).astype(dtype)
     xx = (tx * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)).astype(dtype)
     zbuf = zbuf_ref[:, :]
     width_f = float(cfg.n_tx * tw)
@@ -170,64 +195,56 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
         k = count - 1 - i
         bufs, gbufs = carry
         row = lambda j: table_ref[0, k, j]
-        mask, t, b0, b1 = _band_mask_and_fields(cfg, row, yy, xx, zbuf, width_f)
+        mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
+        # one reciprocal per slot; unblend (buf − (1−t)a)/t ≡ (buf − a)·rt + a
+        rt = 1.0 / _t_div(t)
+        one_minus_t = 1.0 - t
 
+        # per-slot reductions stop at the sublane axis: (tw,) lane partials
+        # land in VMEM scratch; the (expensive) cross-lane reduction runs
+        # once per tile after the loop instead of 3+3C times per slot
         if cfg.error_mode:
             a = []
             err = jnp.zeros((th, tw), dtype)
             for ch in range(c):
-                a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
+                a_ch = _attr_plane(row, ch, c, yrow, xx)
                 a.append(a_ch)
                 diff = a_ch - obs_ref[ch, :, :]
                 err = err + diff * diff
-            before0 = jnp.where(mask, (bufs[0] - (1 - t) * err) / _t_div(t), bufs[0])
+            before0 = jnp.where(mask, (bufs[0] - err) * rt + err, bufs[0])
             g_out = gbufs[0]
             g_masked = jnp.where(mask, g_out, 0.0)
             g_t = g_masked * (before0 - err)
-            g_err = g_masked * (1 - t)
-            g_b0 = jnp.zeros((th, tw), dtype)
-            g_b1 = jnp.zeros((th, tw), dtype)
+            g_err = g_masked * one_minus_t
             for ch in range(c):
                 g_a = g_err * 2.0 * (a[ch] - obs_ref[ch, :, :])
-                gtable_ref[0, k, 9 + ch] = jnp.sum(g_a * b0)
-                gtable_ref[0, k, 9 + c + ch] = jnp.sum(g_a * b1)
-                g_b0 = g_b0 + g_a * row(_E_A0 + ch)
-                g_b1 = g_b1 + g_a * row(_E_A0 + c + ch)
+                scratch_ref[k, 3 + 3 * ch, :] = jnp.sum(g_a * xx, axis=0)
+                scratch_ref[k, 4 + 3 * ch, :] = jnp.sum(g_a * yrow, axis=0)
+                scratch_ref[k, 5 + 3 * ch, :] = jnp.sum(g_a, axis=0)
             new_bufs = (before0,)
             new_gbufs = (jnp.where(mask, t * g_out, g_out),)
         else:
-            befores = []
             g_t = jnp.zeros((th, tw), dtype)
-            g_b0 = jnp.zeros((th, tw), dtype)
-            g_b1 = jnp.zeros((th, tw), dtype)
             new_bufs = []
             new_gbufs = []
             for ch in range(c):
-                a_ch = b0 * row(_E_A0 + ch) + b1 * row(_E_A0 + c + ch)
-                before = jnp.where(mask, (bufs[ch] - (1 - t) * a_ch) / _t_div(t), bufs[ch])
-                befores.append(before)
+                a_ch = _attr_plane(row, ch, c, yrow, xx)
+                before = jnp.where(mask, (bufs[ch] - a_ch) * rt + a_ch, bufs[ch])
                 g_out = gbufs[ch]
                 g_masked = jnp.where(mask, g_out, 0.0)
                 g_t = g_t + g_masked * (before - a_ch)
-                g_a = g_masked * (1 - t)
-                gtable_ref[0, k, 9 + ch] = jnp.sum(g_a * b0)
-                gtable_ref[0, k, 9 + c + ch] = jnp.sum(g_a * b1)
-                g_b0 = g_b0 + g_a * row(_E_A0 + ch)
-                g_b1 = g_b1 + g_a * row(_E_A0 + c + ch)
+                g_a = g_masked * one_minus_t
+                scratch_ref[k, 3 + 3 * ch, :] = jnp.sum(g_a * xx, axis=0)
+                scratch_ref[k, 4 + 3 * ch, :] = jnp.sum(g_a * yrow, axis=0)
+                scratch_ref[k, 5 + 3 * ch, :] = jnp.sum(g_a, axis=0)
                 new_bufs.append(before)
                 new_gbufs.append(jnp.where(mask, t * g_out, g_out))
             new_bufs = tuple(new_bufs)
             new_gbufs = tuple(new_gbufs)
 
-        gtable_ref[0, k, 0] = jnp.sum(g_b0 * xx)
-        gtable_ref[0, k, 1] = jnp.sum(g_b0 * yy)
-        gtable_ref[0, k, 2] = jnp.sum(g_b0)
-        gtable_ref[0, k, 3] = jnp.sum(g_b1 * xx)
-        gtable_ref[0, k, 4] = jnp.sum(g_b1 * yy)
-        gtable_ref[0, k, 5] = jnp.sum(g_b1)
-        gtable_ref[0, k, 6] = jnp.sum(g_t * xx)
-        gtable_ref[0, k, 7] = jnp.sum(g_t * yy)
-        gtable_ref[0, k, 8] = jnp.sum(g_t)
+        scratch_ref[k, 0, :] = jnp.sum(g_t * xx, axis=0)
+        scratch_ref[k, 1, :] = jnp.sum(g_t * yrow, axis=0)
+        scratch_ref[k, 2, :] = jnp.sum(g_t, axis=0)
         return new_bufs, new_gbufs
 
     bufs = tuple(buf_final_ref[ch, :, :] for ch in range(nch))
@@ -235,6 +252,9 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
     bufs, gbufs = jax.lax.fori_loop(0, count, body, (bufs, gbufs))
     for ch in range(nch):
         gbuf0_ref[ch, :, :] = gbufs[ch]
+    # finish the deferred lane reductions for all slots at once; rows past
+    # count hold stale scratch and are masked by the XLA wrapper
+    gtable_ref[0, :, :] = jnp.sum(scratch_ref[:, :, :], axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -302,13 +322,14 @@ def _edge_bwd(cfg, residuals, g_out):
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, cap, gw), tile_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cap, gw), tile_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((cfg.n_ty * cfg.n_tx, cap, gw), dtype),
             jax.ShapeDtypeStruct(final.shape, dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((cap, gw, tw), dtype)],
         interpret=cfg.interpret,
     )(counts, table_tile, z_buffer, obs, final, g_out)
 
@@ -317,14 +338,15 @@ def _edge_bwd(cfg, residuals, g_out):
     row_valid = ks[None, :] < jnp.minimum(counts, cap)
     g_table = jnp.where(row_valid[:, :, None], g_table, 0.0)
 
-    # expand gradient rows to the full table width (non-diff columns zero)
-    pad_cols = ew - gw
+    # expand gradient rows to the full table width: b0/b1 rows (band clip),
+    # y bounds, z coefficients and the active flag are non-differentiable
     g_table_full = jnp.concatenate(
         [
-            g_table[:, :, 0:9],
+            jnp.zeros((g_table.shape[0], cap, 6), dtype),  # b0, b1 coeffs
+            g_table[:, :, 0:3],  # t coeffs
             jnp.zeros((g_table.shape[0], cap, 2), dtype),  # y_begin, y_end
-            g_table[:, :, 9 : 9 + 2 * c],
-            jnp.zeros((g_table.shape[0], cap, 3), dtype),  # z0, z1, active
+            g_table[:, :, 3 : 3 + 3 * c],  # a coeffs
+            jnp.zeros((g_table.shape[0], cap, 4), dtype),  # z coeffs, active
         ],
         axis=2,
     )

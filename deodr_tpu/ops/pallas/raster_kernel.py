@@ -76,33 +76,37 @@ def _pixel_coords(cfg, dtype):
     th, tw = cfg.tile_h, cfg.tile_w
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    yy = (ty * th + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)).astype(dtype)
+    yrow = (ty * th + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)).astype(dtype)
     xx = (tx * tw + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)).astype(dtype)
-    return yy, xx
+    return yrow, xx
 
 
-def _coverage_and_z(cfg, row, yy, xx):
+def _coverage_and_z(cfg, row, yrow, xx):
     """Exact coverage predicate + affine depth for one setup row (``row`` is
-    a scalar accessor: j -> SMEM scalar); all operands (th, tw)."""
+    a scalar accessor: j -> SMEM scalar). The rational x-range bounds depend
+    on y only, so they are evaluated on (th, 1) columns — the expensive
+    divides run once per row instead of once per pixel — and only the final
+    comparisons broadcast against the (th, tw) xx grid."""
     valid = row(_S_VALID) > 0.5
     x_lo = row(_S_XLO)
     x_hi = row(_S_XHI)
-    cov = jnp.zeros(yy.shape, jnp.bool_)
+    cov = jnp.zeros(xx.shape, jnp.bool_)
     for p in range(2):
         la, lb, lc = row(_S_LEQ + 3 * p), row(_S_LEQ + 3 * p + 1), row(_S_LEQ + 3 * p + 2)
         ra, rb, rc = row(_S_REQ + 3 * p), row(_S_REQ + 3 * p + 1), row(_S_REQ + 3 * p + 2)
-        num_l = -(lb * yy + lc)
-        num_r = -(rb * yy + rc)
+        num_l = -(lb * yrow + lc)
+        num_r = -(rb * yrow + rc)
         if cfg.strict_edge:
             t_l = 1 + _floor_div_k(num_l, la, x_lo - 1, x_hi)
         else:
             t_l = _ceil_div_k(num_l, la, x_lo - 1, x_hi)
         t_r = _floor_div_k(num_r, ra, x_lo - 1, x_hi)
-        x_begin = jnp.maximum(x_lo, t_l)
+        x_begin = jnp.maximum(x_lo, t_l)  # (th, 1)
         x_end = jnp.minimum(x_hi, t_r)
-        row_ok = (yy >= row(_S_YLO0 + p)) & (yy <= row(_S_YHI0 + p))
+        row_ok = (yrow >= row(_S_YLO0 + p)) & (yrow <= row(_S_YHI0 + p))
         cov = cov | (row_ok & (xx >= x_begin) & (xx <= x_end))
-    zlin = row(_S_Z) * xx + row(_S_Z + 1) * yy + row(_S_Z + 2)
+    z_y = row(_S_Z + 1) * yrow + row(_S_Z + 2)  # (th, 1)
+    zlin = row(_S_Z) * xx + z_y
     z = 1.0 / zlin if cfg.perspective_correct else zlin
     return cov & valid & jnp.isfinite(z), z
 
@@ -110,7 +114,7 @@ def _coverage_and_z(cfg, row, yy, xx):
 def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_ref, z_ref, vals_ref):
     th, tw, cap, d = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.n_attr
     dtype = z_ref.dtype
-    yy, xx = _pixel_coords(cfg, dtype)
+    yrow, xx = _pixel_coords(cfg, dtype)
     big = jnp.asarray(jnp.inf, dtype)
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
     count = jnp.minimum(count_ref[tile_id, 0], cap)
@@ -118,14 +122,15 @@ def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_
     def body(k, carry):
         best_z, best_slot, vals = carry
         row = lambda j: setup_ref[0, k, j]
-        cov, z = _coverage_and_z(cfg, row, yy, xx)
+        cov, z = _coverage_and_z(cfg, row, yrow, xx)
         z_eff = jnp.where(cov, z, big)
         better = z_eff < best_z
         best_z = jnp.where(better, z_eff, best_z)
         best_slot = jnp.where(better, k, best_slot)
         new_vals = []
         for j in range(d):
-            vk = affine_ref[0, k, j] * xx + affine_ref[0, k, d + j] * yy + affine_ref[0, k, 2 * d + j]
+            v_y = affine_ref[0, k, d + j] * yrow + affine_ref[0, k, 2 * d + j]  # (th, 1)
+            vk = affine_ref[0, k, j] * xx + v_y
             new_vals.append(jnp.where(better, vk, vals[j]))
         return best_z, best_slot, tuple(new_vals)
 
@@ -143,25 +148,32 @@ def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_
         vals_ref[j, :, :] = vals[j]
 
 
-def _bwd_kernel(cfg: PallasRasterConfig, count_ref, slot_ref, gvals_ref, gtable_ref):
+def _bwd_kernel(cfg: PallasRasterConfig, count_ref, slot_ref, gvals_ref, gtable_ref, scratch_ref):
     th, tw, cap, d = cfg.tile_h, cfg.tile_w, cfg.cap, cfg.n_attr
     dtype = gvals_ref.dtype
-    yy, xx = _pixel_coords(cfg, dtype)
+    yrow, xx = _pixel_coords(cfg, dtype)
     best_slot = slot_ref[:, :]
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
     count = jnp.minimum(count_ref[tile_id, 0], cap)
 
+    # per-pixel coordinate-weighted cotangents are slot-independent: hoist
+    # them out of the slot loop
+    gx = tuple(gvals_ref[j, :, :] * xx for j in range(d))
+    gy = tuple(gvals_ref[j, :, :] * yrow for j in range(d))
+
     def body(k, _):
         mask = (best_slot == k).astype(dtype)
+        # reduce sublanes only; the cross-lane reduction happens once per
+        # tile after the loop (scratch holds (tw,) lane partials per slot)
         for j in range(d):
-            gm = gvals_ref[j, :, :] * mask
-            gtable_ref[0, k, j] = jnp.sum(gm * xx)
-            gtable_ref[0, k, d + j] = jnp.sum(gm * yy)
-            gtable_ref[0, k, 2 * d + j] = jnp.sum(gm)
+            scratch_ref[k, j, :] = jnp.sum(gx[j] * mask, axis=0)
+            scratch_ref[k, d + j, :] = jnp.sum(gy[j] * mask, axis=0)
+            scratch_ref[k, 2 * d + j, :] = jnp.sum(gvals_ref[j, :, :] * mask, axis=0)
         return 0
 
     # rows >= count stay uninitialized; the XLA wrapper masks them out
     jax.lax.fori_loop(0, count, body, 0)
+    gtable_ref[0, :, :] = jnp.sum(scratch_ref[:, :, :], axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -229,11 +241,10 @@ def _raster_bwd(cfg, residuals, cotangents):
             pl.BlockSpec((d, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            # scalar accumulations land in SMEM (scalar stores to VMEM are
-            # not supported by Mosaic)
-            (1, cap + 1, 3 * d), lambda i, j: (i * cfg.n_tx + j, 0, 0), memory_space=pltpu.SMEM
+            (1, cap + 1, 3 * d), lambda i, j: (i * cfg.n_tx + j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((cfg.n_ty * cfg.n_tx, cap + 1, 3 * d), dtype),
+        scratch_shapes=[pltpu.VMEM((cap + 1, 3 * d, tw), dtype)],
         interpret=cfg.interpret,
     )(counts, slot_map, g_vals)
     # rows past each tile's count (incl. the miss row) are uninitialized

@@ -188,7 +188,16 @@ def render_scene(
 
     if sigma > 0:
         edges = _build_edge_data(scene, ij_off, signed_area_v, aa_edge_capacity)
-        if tiling is not None and getattr(tiling, "edge_split", 1) > 1:
+        # the pallas edge kernel covers the (common) untextured,
+        # non-perspective-correct attribute path; other configs use the
+        # XLA tiled pass
+        use_pallas_edges = (
+            tiling is not None and impl == "pallas" and scene.texture is None and not scene.perspective_correct
+        )
+        if tiling is not None and getattr(tiling, "edge_split", 1) > 1 and not use_pallas_edges:
+            # the pallas path bins whole edges with an exact band-vs-tile
+            # intersection test; splitting (tight bboxes) only helps the
+            # bbox-binned XLA path
             from deodr_tpu.ops.tiled import split_edges
 
             edges = split_edges(edges, tiling.edge_split, tiling.edge_segment_length)
@@ -205,10 +214,6 @@ def render_scene(
         if texture is None:
             texture = jnp.zeros((1, 1, scene.colors.shape[1]), scene.colors.dtype)
         if tiling is not None:
-            # the pallas edge kernel covers the (common) untextured,
-            # non-perspective-correct attribute path; other configs use the
-            # XLA tiled pass
-            use_pallas_edges = impl == "pallas" and scene.texture is None and not scene.perspective_correct
             if use_pallas_edges:
                 from deodr_tpu.ops.tiled import edge_pass_tiled_pallas
 

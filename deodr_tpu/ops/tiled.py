@@ -45,6 +45,23 @@ class TilingConfig(NamedTuple):
     edge_segment_length: float = 48.0
 
 
+def _exclusive_prefix_count(maskf: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive per-row prefix sum of a 0/1 matrix (n_tiles, N), computed
+    with 128-wide chunked triangular matmuls on the MXU instead of
+    jnp.cumsum (XLA lowers that to a slow reduce-window on TPU). Exact:
+    0/1 inputs and integer-valued fp32 accumulation."""
+    tn, n = maskf.shape
+    chunk = 128
+    pad = (-n) % chunk
+    m = jnp.pad(maskf, ((0, 0), (0, pad))).reshape(tn, -1, chunk)
+    tri = (jnp.arange(chunk)[:, None] < jnp.arange(chunk)[None, :]).astype(maskf.dtype)
+    within = jnp.einsum("tbc,cd->tbd", m, tri)  # strictly-lower contributions
+    chunk_tot = jnp.sum(m, axis=2)  # (tn, B)
+    offs = jnp.cumsum(chunk_tot, axis=1) - chunk_tot  # tiny (B ~ N/128)
+    rank = within + offs[:, :, None]
+    return rank.reshape(tn, -1)[:, :n]
+
+
 def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, capacity):
     """Bin items (given clamped pixel bboxes) to tiles.
 
@@ -68,13 +85,20 @@ def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, cap
         & (txs <= tx1[None, None, :])
     )  # (n_ty, n_tx, N)
     mask = mask.reshape(n_ty * n_tx, -1)
+    return _compact_bins(mask, capacity)
+
+
+def _compact_bins(mask: jnp.ndarray, capacity: int):
+    """Compact a (n_tiles, N) membership mask into per-tile slot lists.
+
+    Compaction without sorting (TPU sorts are slow): the in-bin position of
+    each item is its prefix count; a one-hot (item, position) contraction
+    then yields the per-tile slot lists, preserving item order.
+    """
     n = mask.shape[1]
     cap = min(capacity, n)
-    # compaction without sorting (TPU sorts are slow): the in-bin position of
-    # each item is its prefix count; a one-hot (item, position) contraction
-    # then yields the per-tile slot lists, preserving item order.
     maskf = mask.astype(jnp.float32)
-    rank = (jnp.cumsum(maskf, axis=1) - maskf).astype(jnp.int32)  # (n_tiles, N)
+    rank = _exclusive_prefix_count(maskf).astype(jnp.int32)  # (n_tiles, N)
     ks = jnp.arange(cap, dtype=jnp.int32)
     onehot = ((rank[:, :, None] == ks[None, None, :]) & mask[:, :, None]).astype(jnp.float32)
     ids = jnp.arange(n, dtype=jnp.float32)
@@ -82,6 +106,68 @@ def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, cap
     slot_valid = jnp.sum(onehot, axis=1) > 0.5
     counts = jnp.sum(mask, axis=1)
     return slots, slot_valid, counts
+
+
+def _edge_band_tile_mask(v0, v1, sigma, active, n_ty, n_tx, tile_h, tile_w, height, width, margin=1.0):
+    """(n_tiles, E) bool: does edge e's antialiasing band — the closed
+    parallelogram spanned by the edge and its outward normal × sigma —
+    intersect tile t? Exact separating-axis test (the band's two axes plus
+    the tile rect's two), conservative by ``margin`` pixels.
+
+    Replaces bbox binning for edge bands: a long diagonal edge's bbox covers
+    O(len²/tile_area) tiles while its band only crosses O(len/tile_len) —
+    this test bins exactly those, without splitting edges into segments
+    (which multiplies every per-edge setup cost)."""
+    dtype = v0.dtype
+    d = v1 - v0  # (E, 2) edge direction (not normalized; n below unnormalized too)
+    n = jnp.stack([d[:, 1], -d[:, 0]], axis=1)  # one of the two normals; sign-agnostic test below
+    # band along its own normal: [min(n·v0, n·v0 ± |n|·sigma)] — use both
+    # signs so the test is winding-agnostic (conservative 2x band width)
+    c0 = jnp.sum(n * v0, axis=1)
+    half = jnp.sqrt(jnp.sum(n * n, axis=1)) * (sigma + margin)
+    b_lo_n = c0 - half
+    b_hi_n = c0 + half
+    # band along the edge direction: projections of the two endpoints
+    # (the normal offset is orthogonal to d, so it does not extend this)
+    p0 = jnp.sum(d * v0, axis=1)
+    p1 = jnp.sum(d * v1, axis=1)
+    dl = jnp.sqrt(jnp.sum(d * d, axis=1))
+    b_lo_d = jnp.minimum(p0, p1) - dl * margin
+    b_hi_d = jnp.maximum(p0, p1) + dl * margin
+
+    tys = jnp.arange(n_ty, dtype=dtype)[:, None]
+    txs = jnp.arange(n_tx, dtype=dtype)[None, :]
+    gx0 = (txs * tile_w - margin).reshape(-1)  # (n_tx,)
+    gx1 = (jnp.minimum(txs * tile_w + tile_w - 1, width - 1) + margin).reshape(-1)
+    gy0 = (tys * tile_h - margin).reshape(-1)  # (n_ty,)
+    gy1 = (jnp.minimum(tys * tile_h + tile_h - 1, height - 1) + margin).reshape(-1)
+
+    # axis-aligned axes: plain bbox overlap
+    ex_lo = jnp.minimum(v0[:, 0], v1[:, 0]) - (sigma + margin)
+    ex_hi = jnp.maximum(v0[:, 0], v1[:, 0]) + (sigma + margin)
+    ey_lo = jnp.minimum(v0[:, 1], v1[:, 1]) - (sigma + margin)
+    ey_hi = jnp.maximum(v0[:, 1], v1[:, 1]) + (sigma + margin)
+    ok_x = (gx0[None, :, None] <= ex_hi[None, None, :]) & (gx1[None, :, None] >= ex_lo[None, None, :])  # (1, n_tx, E)
+    ok_y = (gy0[:, None, None] <= ey_hi[None, None, :]) & (gy1[:, None, None] >= ey_lo[None, None, :])  # (n_ty, 1, E)
+
+    def rect_proj(ax, ay):
+        # min/max over the 4 tile corners of ax·x + ay·y, separably
+        px_lo = jnp.minimum(ax[None, :] * gx0[:, None], ax[None, :] * gx1[:, None])  # (n_tx, E)
+        px_hi = jnp.maximum(ax[None, :] * gx0[:, None], ax[None, :] * gx1[:, None])
+        py_lo = jnp.minimum(ay[None, :] * gy0[:, None], ay[None, :] * gy1[:, None])  # (n_ty, E)
+        py_hi = jnp.maximum(ay[None, :] * gy0[:, None], ay[None, :] * gy1[:, None])
+        return px_lo, px_hi, py_lo, py_hi
+
+    nx_lo, nx_hi, ny_lo, ny_hi = rect_proj(n[:, 0], n[:, 1])
+    ok_n = (nx_lo[None, :, :] + ny_lo[:, None, :] <= b_hi_n[None, None, :]) & (
+        nx_hi[None, :, :] + ny_hi[:, None, :] >= b_lo_n[None, None, :]
+    )
+    dx_lo, dx_hi, dy_lo, dy_hi = rect_proj(d[:, 0], d[:, 1])
+    ok_d = (dx_lo[None, :, :] + dy_lo[:, None, :] <= b_hi_d[None, None, :]) & (
+        dx_hi[None, :, :] + dy_hi[:, None, :] >= b_lo_d[None, None, :]
+    )
+    mask = ok_x & ok_y & ok_n & ok_d & active[None, None, :]
+    return mask.reshape(n_ty * n_tx, -1)
 
 
 def split_edges(edges: EdgeData, n_split: int, segment_length: float) -> EdgeData:
@@ -672,26 +758,37 @@ def suggest_tiling(
         p0 = ij[i0]
         p1 = ij[i1]
         length = _np.sqrt(((p1 - p0) ** 2).sum(axis=1))
-        if len(length) and _np.median(length) > seg_len:
+        if for_pallas:
+            # mirror the exact band-vs-tile SAT binning of the pallas path
+            # (whole edges, no splitting)
+            mask = _np.asarray(
+                _edge_band_tile_mask(
+                    jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32), float(sigma),
+                    jnp.ones((len(p0),), bool), n_ty, n_tx, tile_h, tile_w, height, width,
+                )
+            )
+            edge_cap = int(mask.sum(axis=1).max()) if mask.size else 0
+        elif len(length) and _np.median(length) > seg_len:
             edge_split = int(min(8, max(1, _np.ceil(length.max() / seg_len))))
-        if edge_split > 1:
-            # replicate split_edges' segmentation for the occupancy estimate
-            n_seg = _np.clip(_np.ceil(length / seg_len), 1, edge_split)
-            ks = _np.arange(edge_split)
-            t0 = _np.minimum(ks[None, :] / n_seg[:, None], 1.0)
-            t1 = _np.minimum((ks[None, :] + 1) / n_seg[:, None], 1.0)
-            s0 = p0[:, None, :] + t0[:, :, None] * (p1 - p0)[:, None, :]
-            s1 = p0[:, None, :] + t1[:, :, None] * (p1 - p0)[:, None, :]
-            valid = (ks[None, :] < n_seg[:, None]).reshape(-1)
-            p0 = s0.reshape(-1, 2)
-            p1 = s1.reshape(-1, 2)
-        else:
-            valid = _np.ones(len(i0), bool)
-        ex_lo = _np.clip(_np.floor(_np.minimum(p0[:, 0], p1[:, 0]) - sigma), 0, width - 1)
-        ex_hi = _np.clip(_np.floor(_np.maximum(p0[:, 0], p1[:, 0]) + sigma) + 1, 0, width - 1)
-        ey_lo = _np.clip(_np.floor(_np.minimum(p0[:, 1], p1[:, 1]) - sigma) + 1, 0, height - 1)
-        ey_hi = _np.clip(_np.floor(_np.maximum(p0[:, 1], p1[:, 1]) + sigma), 0, height - 1)
-        edge_cap = occupancy(ex_lo, ex_hi, ey_lo, ey_hi, valid)
+        if not for_pallas:
+            if edge_split > 1:
+                # replicate split_edges' segmentation for the occupancy estimate
+                n_seg = _np.clip(_np.ceil(length / seg_len), 1, edge_split)
+                ks = _np.arange(edge_split)
+                t0 = _np.minimum(ks[None, :] / n_seg[:, None], 1.0)
+                t1 = _np.minimum((ks[None, :] + 1) / n_seg[:, None], 1.0)
+                s0 = p0[:, None, :] + t0[:, :, None] * (p1 - p0)[:, None, :]
+                s1 = p0[:, None, :] + t1[:, :, None] * (p1 - p0)[:, None, :]
+                valid = (ks[None, :] < n_seg[:, None]).reshape(-1)
+                p0 = s0.reshape(-1, 2)
+                p1 = s1.reshape(-1, 2)
+            else:
+                valid = _np.ones(len(i0), bool)
+            ex_lo = _np.clip(_np.floor(_np.minimum(p0[:, 0], p1[:, 0]) - sigma), 0, width - 1)
+            ex_hi = _np.clip(_np.floor(_np.maximum(p0[:, 0], p1[:, 0]) + sigma) + 1, 0, width - 1)
+            ey_lo = _np.clip(_np.floor(_np.minimum(p0[:, 1], p1[:, 1]) - sigma) + 1, 0, height - 1)
+            ey_hi = _np.clip(_np.floor(_np.maximum(p0[:, 1], p1[:, 1]) + sigma), 0, height - 1)
+            edge_cap = occupancy(ex_lo, ex_hi, ey_lo, ey_hi, valid)
 
     def bucket(n):
         import math
@@ -778,34 +875,40 @@ def edge_pass_tiled_pallas(
     finite = jnp.all(jnp.isfinite(inv), axis=(1, 2))
     active = edges.active & finite & ~degenerate
 
+    # fold the per-channel edge color a_ch = b0·attrs0[ch] + b1·attrs1[ch]
+    # and the depth z = b0·z0 + b1·z1 into affine (x, y) coefficients here —
+    # differentiably, so endpoint-position/attribute gradients chain through
+    # the fold; the kernel then evaluates one fma per plane. The b0/b1 rows
+    # are kept only for the band-clip inequalities (non-differentiable
+    # boundary, like the reference's pixel-set decision) and z is constant
+    # per the reference adjoint's contract.
+    a0 = edges.attrs[:, 0, :]  # (E, C)
+    a1 = edges.attrs[:, 1, :]
+    acoef = b0c[:, None, :] * a0[:, :, None] + b1c[:, None, :] * a1[:, :, None]  # (E, C, 3)
+    zcoef = jax.lax.stop_gradient(b0c * edges.z[:, 0:1] + b1c * edges.z[:, 1:2])  # (E, 3)
     rows = jnp.concatenate(
         [
-            b0c,
-            b1c,
+            jax.lax.stop_gradient(b0c),
+            jax.lax.stop_gradient(b1c),
             tc,
             y_beg[:, None],
             y_end[:, None],
-            edges.attrs[:, 0, :],
-            edges.attrs[:, 1, :],
-            jax.lax.stop_gradient(edges.z),
+            acoef.reshape(acoef.shape[0], 3 * c),
+            zcoef,
             active.astype(dtype)[:, None],
         ],
         axis=1,
     )
     assert rows.shape[1] == edge_row_width(c)
 
-    # --- bin edge bands to tiles (same bboxes as edge_pass_tiled) ---
-    vx = jnp.stack([v0[:, 0], v1[:, 0]], axis=1)
-    vyy = jnp.stack([v0[:, 1], v1[:, 1]], axis=1)
-    x_lo = jnp.clip(jnp.floor(jnp.min(vx, axis=1) - sigma), 0, width - 1)
-    x_hi = jnp.clip(jnp.floor(jnp.max(vx, axis=1) + sigma) + 1, 0, width - 1)
-    yb_lo = jnp.clip(jnp.floor(jnp.min(vyy, axis=1) - sigma) + 1, 0, height - 1)
-    yb_hi = jnp.clip(jnp.floor(jnp.max(vyy, axis=1) + sigma), 0, height - 1)
-    slots, slot_valid, counts = _bin_to_tiles(
-        jax.lax.stop_gradient(x_lo), jax.lax.stop_gradient(x_hi),
-        jax.lax.stop_gradient(yb_lo), jax.lax.stop_gradient(yb_hi),
-        active, n_ty, n_tx, th, tw, tiling.edge_capacity,
+    # --- bin edge bands to tiles: exact band-parallelogram vs tile-rect
+    # separating-axis test (tight for long diagonal bands, no edge
+    # splitting needed) ---
+    mask = _edge_band_tile_mask(
+        jax.lax.stop_gradient(v0), jax.lax.stop_gradient(v1), sigma, active,
+        n_ty, n_tx, th, tw, height, width,
     )
+    slots, slot_valid, counts = _compact_bins(mask, tiling.edge_capacity)
     cap = slots.shape[1]
     table_tile = rows[slots]  # (n_tiles, cap, W)
     table_tile = table_tile.at[:, :, edge_row_width(c) - 1].multiply(slot_valid.astype(dtype))
