@@ -118,8 +118,12 @@ def _render_view(vertices, quaternion, translation, mesh_color, light_directiona
     return jnp.sum((image - obs) ** 2)
 
 
-def multiview_train_step(params, obs_batch, extrinsics, intrinsics, static, mesh: Mesh, lr: float = 1e-6):
-    """One full multi-view fitting step, view-sharded over the device mesh.
+def make_multiview_train_step(static, mesh: Mesh, lr: float = 1e-6):
+    """Build a jitted multi-view fitting step, view-sharded over the mesh.
+
+    Returns ``step(params, obs_batch, extrinsics, intrinsics) -> (params,
+    loss)``. Build it ONCE and reuse it — each builder call produces a fresh
+    jit cache entry.
 
     params: dict(vertices (V,3), quaternion (F,4), translation (F,3),
     mesh_color (3,), light_directional (3,), light_ambient ()).
@@ -146,13 +150,22 @@ def multiview_train_step(params, obs_batch, extrinsics, intrinsics, static, mesh
         return jnp.sum(per_view)
 
     @partial(jax.jit, out_shardings=(replicated, replicated))
-    def step(params, obs_batch, extrinsics, intrinsics):
+    def step_jit(params, obs_batch, extrinsics, intrinsics):
         loss, grads = jax.value_and_grad(loss_fn)(params, obs_batch, extrinsics, intrinsics)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return new_params, loss
 
-    obs_batch = jax.device_put(obs_batch, view_sharded)
-    extrinsics = jax.device_put(extrinsics, view_sharded)
-    intrinsics = jax.device_put(intrinsics, view_sharded)
-    params = jax.device_put(params, replicated)
-    return step(params, obs_batch, extrinsics, intrinsics)
+    def step(params, obs_batch, extrinsics, intrinsics):
+        obs_batch = jax.device_put(obs_batch, view_sharded)
+        extrinsics = jax.device_put(extrinsics, view_sharded)
+        intrinsics = jax.device_put(intrinsics, view_sharded)
+        params = jax.device_put(params, replicated)
+        return step_jit(params, obs_batch, extrinsics, intrinsics)
+
+    return step
+
+
+def multiview_train_step(params, obs_batch, extrinsics, intrinsics, static, mesh: Mesh, lr: float = 1e-6):
+    """One-shot convenience wrapper around :func:`make_multiview_train_step`
+    (recompiles per call — build the step once for loops)."""
+    return make_multiview_train_step(static, mesh, lr)(params, obs_batch, extrinsics, intrinsics)
