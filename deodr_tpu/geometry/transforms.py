@@ -36,3 +36,40 @@ def qrot(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 def cross2(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """2D cross product u_x v_y - u_y v_x over the last axis."""
     return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+
+def jacobian_finite_differences(func, x, epsilon: float = 1e-6):
+    """Central-difference Jacobian of ``func`` at ``x`` (flattened in/out).
+
+    Gradient-check utility with the same contract as the reference's
+    (reference: deodr/tools.py:56-73). For jit-able functions prefer
+    ``jax.test_util.check_grads``; this helper also works through
+    non-JAX (numpy / stateful) pipelines like the OO fitting classes.
+    """
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    f0 = np.asarray(func(x)).ravel()
+    jac = np.zeros((f0.size, x.size))
+    flat = x.ravel()
+    for i in range(flat.size):
+        xp = flat.copy()
+        xm = flat.copy()
+        xp[i] += epsilon
+        xm[i] -= epsilon
+        fp = np.asarray(func(xp.reshape(x.shape))).ravel()
+        fm = np.asarray(func(xm.reshape(x.shape))).ravel()
+        jac[:, i] = (fp - fm) / (2 * epsilon)
+    return jac
+
+
+def check_jacobian_finite_differences(jac, func, x, epsilon: float = 1e-6, tol: float = 1e-4) -> float:
+    """Assert ``jac`` matches the central-difference Jacobian of ``func`` at
+    ``x`` within ``tol`` (max abs error, returned); reference:
+    deodr/tools.py:76-93."""
+    import numpy as np
+
+    jac_fd = jacobian_finite_differences(func, x, epsilon)
+    err = float(np.abs(np.asarray(jac).reshape(jac_fd.shape) - jac_fd).max())
+    assert err < tol, f"jacobian mismatch: max abs err {err} >= {tol}"
+    return err
