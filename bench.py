@@ -99,7 +99,7 @@ def main():
         for_pallas=True,
         bucket_mode="exact",
     )
-    def measure(sigma, chain=100):
+    def measure(sigma, chain=400):
         def loss(ij, colors):
             b = dataclasses.replace(scene, ij=ij, colors=colors)
             img, _, _ = render_scene(

@@ -59,11 +59,13 @@ class _FitterRenderCore:
             cap = min(3 * self.mesh.nb_faces, _next_pow2_bucket(int(edgeflags_np.sum())))
         tiling = None
         if self.mesh.nb_faces > 256:
+            from deodr_tpu.ops.render import default_impl
             from deodr_tpu.ops.tiled import suggest_tiling
 
             tiling = suggest_tiling(
                 pts_np, self.mesh.faces, camera.height, camera.width,
                 sigma=self.sigma, edgeflags=edgeflags_np,
+                for_pallas=(default_impl() == "pallas"),
             )
         return cap, tiling
 
@@ -191,7 +193,7 @@ class MeshDepthFitter:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
-            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling)
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None)
             depth_clipped = jnp.clip(image, 0, max_depth)
             diff_image = jnp.sum((depth_clipped - obs[:, :, None]) ** 2, axis=2)
             return jnp.sum(diff_image), (depth_clipped, diff_image)
@@ -365,7 +367,7 @@ class MeshRGBFitterWithPose:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
-            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling)
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None)
             diff_image = jnp.sum((image - obs) ** 2, axis=2)
             return jnp.sum(diff_image), (image, diff_image)
 
@@ -561,7 +563,7 @@ class MeshRGBFitterWithPoseMultiFrame:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
-            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling)
+            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None)
             diff_image = jnp.sum((image - obs) ** 2, axis=2)
             return coef_data * jnp.sum(diff_image), (image, diff_image)
 

@@ -152,7 +152,7 @@ def _fwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
     width_f = float(cfg.n_tx * tw)
 
     def body(k, bufs):
-        row = lambda j: table_ref[0, k, j]
+        row = lambda j: table_ref[0, j, k]
         mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
         if cfg.error_mode:
             err = jnp.zeros((th, tw), dtype)
@@ -169,7 +169,7 @@ def _fwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
 
     bufs = tuple(buf_in_ref[ch, :, :] for ch in range(nch))
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
-    count = jnp.minimum(count_ref[tile_id, 0], cap)
+    count = jnp.minimum(count_ref[0, tile_id], cap)
     bufs = jax.lax.fori_loop(0, count, body, bufs)
     for ch in range(nch):
         buf_out_ref[ch, :, :] = bufs[ch]
@@ -189,12 +189,12 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
     gw = _grad_row_width(c)
 
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
-    count = jnp.minimum(count_ref[tile_id, 0], cap)
+    count = jnp.minimum(count_ref[0, tile_id], cap)
 
     def body(i, carry):
         k = count - 1 - i
         bufs, gbufs = carry
-        row = lambda j: table_ref[0, k, j]
+        row = lambda j: table_ref[0, j, k]
         mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
         # one reciprocal per slot; unblend (buf − (1−t)a)/t ≡ (buf − a)·rt + a
         rt = 1.0 / _t_div(t)
@@ -259,8 +259,8 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def edge_pass_pallas(cfg: PallasEdgeConfig, table_tile, buffer0, z_buffer, obs, counts):
-    """table_tile (n_tiles, cap, W); buffer0 (nch, H', W'); z_buffer
-    (H', W'); obs (C, H', W') (error mode); counts (n_tiles, 1) int32 →
+    """table_tile (n_tiles, W, cap); buffer0 (nch, H', W'); z_buffer
+    (H', W'); obs (C, H', W') (error mode); counts (1, n_tiles) int32 →
     blended buffer (nch, H', W').
 
     Differentiable in table_tile and buffer0 (z_buffer/obs constant)."""
@@ -281,8 +281,9 @@ def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs, counts):
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((cfg.n_ty * cfg.n_tx, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cfg.n_ty * cfg.n_tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            # (ew, cap): narrow axis as rows — Mosaic pads SMEM rows to ~1 KiB
+            pl.BlockSpec((1, ew, cap), tile_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -314,8 +315,8 @@ def _edge_bwd(cfg, residuals, g_out):
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((cfg.n_ty * cfg.n_tx, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cap, ew), tile_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cfg.n_ty * cfg.n_tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ew, cap), tile_idx, memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -335,7 +336,7 @@ def _edge_bwd(cfg, residuals, g_out):
 
     # rows past each tile's count are uninitialized
     ks = jnp.arange(cap, dtype=jnp.int32)
-    row_valid = ks[None, :] < jnp.minimum(counts, cap)
+    row_valid = ks[None, :] < jnp.minimum(counts.reshape(-1, 1), cap)
     g_table = jnp.where(row_valid[:, :, None], g_table, 0.0)
 
     # expand gradient rows to the full table width: b0/b1 rows (band clip),
@@ -350,7 +351,8 @@ def _edge_bwd(cfg, residuals, g_out):
         ],
         axis=2,
     )
-    return g_table_full, g_buf0, jnp.zeros_like(z_buffer), jnp.zeros_like(obs), None
+    # cotangent layout must match the (n_tiles, ew, cap) input
+    return jnp.swapaxes(g_table_full, 1, 2), g_buf0, jnp.zeros_like(z_buffer), jnp.zeros_like(obs), None
 
 
 edge_pass_pallas.defvjp(_edge_fwd, _edge_bwd)

@@ -19,11 +19,16 @@ uv / shade via the (differentiable) affine-map construction.
 Layouts (Mosaic-friendly: framebuffer arrays keep (…, th, tw) as the last
 two dims; the attribute axis is leading/planar):
 
-- setup_tile   (n_tiles, cap, 22)   stop-grad per-slot scalars
-- affine_tile  (n_tiles, cap + 1, 3D) grouped [x-coeffs D | y-coeffs D | const D]
+- setup_tile   (n_tiles, 22, cap)   stop-grad per-slot scalars
+- affine_tile  (n_tiles, 3D, cap + 1) grouped [x-coeffs D | y-coeffs D | const D]
 - slot_map     (H', W') int32 (cap = miss)
 - z            (H', W')
 - vals         (D, H', W')
+
+SMEM tables are stored column-per-slot (the *narrow* axis is the row axis):
+Mosaic pads every SMEM window row to ~1 KiB, so a (cap, 22) layout costs
+cap KiB — at capacity 1024 that alone exceeds the ~1 MiB SMEM budget — while
+(22, cap) costs 22 rows regardless of capacity.
 """
 
 from __future__ import annotations
@@ -117,11 +122,11 @@ def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_
     yrow, xx = _pixel_coords(cfg, dtype)
     big = jnp.asarray(jnp.inf, dtype)
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
-    count = jnp.minimum(count_ref[tile_id, 0], cap)
+    count = jnp.minimum(count_ref[0, tile_id], cap)
 
     def body(k, carry):
         best_z, best_slot, vals = carry
-        row = lambda j: setup_ref[0, k, j]
+        row = lambda j: setup_ref[0, j, k]
         cov, z = _coverage_and_z(cfg, row, yrow, xx)
         z_eff = jnp.where(cov, z, big)
         better = z_eff < best_z
@@ -129,8 +134,8 @@ def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_
         best_slot = jnp.where(better, k, best_slot)
         new_vals = []
         for j in range(d):
-            v_y = affine_ref[0, k, d + j] * yrow + affine_ref[0, k, 2 * d + j]  # (th, 1)
-            vk = affine_ref[0, k, j] * xx + v_y
+            v_y = affine_ref[0, d + j, k] * yrow + affine_ref[0, 2 * d + j, k]  # (th, 1)
+            vk = affine_ref[0, j, k] * xx + v_y
             new_vals.append(jnp.where(better, vk, vals[j]))
         return best_z, best_slot, tuple(new_vals)
 
@@ -154,7 +159,7 @@ def _bwd_kernel(cfg: PallasRasterConfig, count_ref, slot_ref, gvals_ref, gtable_
     yrow, xx = _pixel_coords(cfg, dtype)
     best_slot = slot_ref[:, :]
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
-    count = jnp.minimum(count_ref[tile_id, 0], cap)
+    count = jnp.minimum(count_ref[0, tile_id], cap)
 
     # per-pixel coordinate-weighted cotangents are slot-independent: hoist
     # them out of the slot loop
@@ -178,8 +183,8 @@ def _bwd_kernel(cfg: PallasRasterConfig, count_ref, slot_ref, gvals_ref, gtable_
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def raster_eval_pallas(cfg: PallasRasterConfig, affine_tile, setup_tile, counts):
-    """(affine_tile (n_tiles, cap+1, 3D), setup_tile (n_tiles, cap, S),
-    counts (n_tiles, 1) int32) → (slot_map (H', W'), z (H', W'),
+    """(affine_tile (n_tiles, 3D, cap+1), setup_tile (n_tiles, S, cap),
+    counts (1, n_tiles) int32) → (slot_map (H', W'), z (H', W'),
     vals (D, H', W'))."""
     return _raster_fwd_call(cfg, affine_tile, setup_tile, counts)
 
@@ -198,11 +203,11 @@ def _raster_fwd_call(cfg, affine_tile, setup_tile, counts):
         in_specs=[
             # whole counts vector in SMEM (Mosaic requires sub-array blocks to
             # be 8x128-aligned even in SMEM; the full array is exempt)
-            pl.BlockSpec((cfg.n_ty * cfg.n_tx, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cfg.n_ty * cfg.n_tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             # per-slot scalar tables live in SMEM: the winner loop reads them
             # scalar-by-scalar on the scalar core, which is slow from VMEM
-            pl.BlockSpec((1, cap, SETUP_WIDTH), tile_idx, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cap + 1, 3 * d), tile_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, SETUP_WIDTH, cap), tile_idx, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3 * d, cap + 1), tile_idx, memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -236,7 +241,7 @@ def _raster_bwd(cfg, residuals, cotangents):
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((cfg.n_ty * cfg.n_tx, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, cfg.n_ty * cfg.n_tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
@@ -249,9 +254,10 @@ def _raster_bwd(cfg, residuals, cotangents):
     )(counts, slot_map, g_vals)
     # rows past each tile's count (incl. the miss row) are uninitialized
     ks = jnp.arange(cap + 1, dtype=jnp.int32)
-    row_valid = ks[None, :] < jnp.minimum(counts, cap)
+    row_valid = ks[None, :] < jnp.minimum(counts.reshape(-1, 1), cap)
     g_table = jnp.where(row_valid[:, :, None], g_table, 0.0)
-    return g_table, None, None
+    # cotangent layout must match the (n_tiles, 3D, cap+1) input
+    return jnp.swapaxes(g_table, 1, 2), None, None
 
 
 raster_eval_pallas.defvjp(_raster_fwd, _raster_bwd)

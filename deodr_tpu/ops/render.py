@@ -95,6 +95,15 @@ def _culling(scene: SceneBuffers):
     return jnp.where(frontal, area, 0.0)
 
 
+def default_impl() -> str:
+    """The preferred tiled-rasterization implementation for the current
+    backend: the fused Pallas kernels on TPU, the (equivalent) XLA path
+    elsewhere (Pallas interpret mode on CPU is far slower than XLA)."""
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def render_scene(
     scene: SceneBuffers,
     sigma: float,
@@ -103,7 +112,7 @@ def render_scene(
     chunk: int = 64,
     aa_edge_capacity: Optional[int] = None,
     tiling=None,
-    impl: str = "xla",
+    impl: Optional[str] = "xla",
     impl_interpret: bool = False,
 ):
     """Render a 2.5D scene.
@@ -120,6 +129,8 @@ def render_scene(
     *non-antialiased* image and ``obs``, then silhouette bands blend the
     residual (reference: C++/DifferentiableRenderer.h:2824-2837, :2850-2897).
     """
+    if impl is None:
+        impl = default_impl()
     offset = 0.0 if scene.integer_pixel_centers else 0.5
     ij_off = scene.ij - offset
     height, width = scene.height, scene.width
@@ -323,7 +334,7 @@ def _order_descending(keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ip,i->p", onehot, idx.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling"))
+@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling", "impl"))
 def render_scene_jit(
     scene: SceneBuffers,
     sigma: float,
@@ -332,6 +343,7 @@ def render_scene_jit(
     chunk: int = 64,
     aa_edge_capacity: Optional[int] = None,
     tiling=None,
+    impl: Optional[str] = "xla",
 ):
     """Compile-cached entry point for :func:`render_scene`."""
     return render_scene(
@@ -342,4 +354,5 @@ def render_scene_jit(
         chunk=chunk,
         aa_edge_capacity=aa_edge_capacity,
         tiling=tiling,
+        impl=impl,
     )

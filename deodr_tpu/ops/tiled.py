@@ -658,6 +658,9 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     packed = _pack_setup_rows(setup, dtype)  # (T, 22)
     setup_tile = packed[slots]  # (n_tiles, cap, 22)
     setup_tile = setup_tile.at[:, :, SETUP_WIDTH - 1].multiply(slot_valid.astype(dtype))
+    # SMEM layout: the narrow axis must be the row axis (Mosaic pads every
+    # SMEM row to ~1 KiB) — see raster_kernel module docstring
+    setup_tile = jnp.swapaxes(setup_tile, 1, 2)  # (n_tiles, 22, cap)
 
     affine = _affine_attribute_maps(scene, v_xy, v_z)  # (T, D, 3)
     d_total = affine.shape[1]
@@ -665,13 +668,13 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     affine_g = jnp.swapaxes(affine, 1, 2).reshape(affine.shape[0], 3 * d_total)
     affine_g = jnp.concatenate([affine_g, jnp.zeros((1, 3 * d_total), dtype)], axis=0)
     miss = jnp.full((slots.shape[0], 1), affine_g.shape[0] - 1, jnp.int32)
-    affine_tile = affine_g[jnp.concatenate([slots, miss], axis=1)]  # (n_tiles, cap+1, 3D)
+    affine_tile = jnp.swapaxes(affine_g[jnp.concatenate([slots, miss], axis=1)], 1, 2)  # (n_tiles, 3D, cap+1)
 
     cfg = PallasRasterConfig(
         tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, n_attr=d_total,
         strict_edge=scene.strict_edge, perspective_correct=persp, interpret=interpret,
     )
-    counts_i = counts.astype(jnp.int32)[:, None]
+    counts_i = counts.astype(jnp.int32)[None, :]
     slot_map, z_pad, vals_pad = raster_eval_pallas(cfg, affine_tile, setup_tile, counts_i)
     z_buffer = z_pad[:height, :width]
     vals = jnp.moveaxis(vals_pad, 0, -1)[:height, :width, :]
@@ -912,6 +915,8 @@ def edge_pass_tiled_pallas(
     cap = slots.shape[1]
     table_tile = rows[slots]  # (n_tiles, cap, W)
     table_tile = table_tile.at[:, :, edge_row_width(c) - 1].multiply(slot_valid.astype(dtype))
+    # SMEM layout: narrow axis as rows (Mosaic pads SMEM rows to ~1 KiB)
+    table_tile = jnp.swapaxes(table_tile, 1, 2)  # (n_tiles, W, cap)
 
     # --- planar padded framebuffer views ---
     ph, pw = n_ty * th - height, n_tx * tw - width
@@ -929,7 +934,7 @@ def edge_pass_tiled_pallas(
         tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, nb_colors=c,
         error_mode=cfg.error_mode, interpret=interpret,
     )
-    out_pad = edge_pass_pallas(kcfg, table_tile, buf_pad, z_pad, obs_pad, counts.astype(jnp.int32)[:, None])
+    out_pad = edge_pass_pallas(kcfg, table_tile, buf_pad, z_pad, obs_pad, counts.astype(jnp.int32)[None, :])
     if cfg.error_mode:
         out = out_pad[0, :height, :width]
     else:

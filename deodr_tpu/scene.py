@@ -410,6 +410,7 @@ class Scene3D:
             cap = min(3 * mesh.nb_faces, bucket)
         tiling = None
         if mesh.nb_faces > 256:
+            from deodr_tpu.ops.render import default_impl
             from deodr_tpu.ops.tiled import suggest_tiling
 
             offset = 0.0 if self.integer_pixel_centers else 0.5
@@ -420,6 +421,7 @@ class Scene3D:
                 camera.width,
                 sigma=self.sigma,
                 edgeflags=edgeflags_np,
+                for_pallas=(default_impl() == "pallas"),
             )
         return cap, tiling
 
@@ -472,7 +474,7 @@ class Scene3D:
                     backface_culling, depth_only_scale,
                 )
                 image, z_buffer, _ = render_scene(
-                    buffers, float(self.sigma), aa_edge_capacity=cap, tiling=tiling
+                    buffers, float(self.sigma), aa_edge_capacity=cap, tiling=tiling, impl=None
                 )
                 return image, z_buffer
 
@@ -632,6 +634,19 @@ class Scene3D:
             perspective_correct=self.perspective_correct,
             integer_pixel_centers=self.integer_pixel_centers,
         )
-        image, _, _ = render_scene_jit(buffers, 0.0)
+        tiling = None
+        if nf > 256:
+            from deodr_tpu.ops.render import default_impl
+            from deodr_tpu.ops.tiled import suggest_tiling
+
+            offset = 0.0 if self.integer_pixel_centers else 0.5
+            tiling = suggest_tiling(
+                np.asarray(soup_ij) - offset,
+                np.asarray(soup_faces),
+                camera.height,
+                camera.width,
+                for_pallas=(default_impl() == "pallas"),
+            )
+        image, _, _ = render_scene_jit(buffers, 0.0, tiling=tiling, impl=None)
         image = np.asarray(image)
         return {k: image[:, :, ranges[k][0] : ranges[k][1]] for k in channels}
