@@ -201,17 +201,11 @@ def render_scene(
         edges = _build_edge_data(scene, ij_off, signed_area_v, aa_edge_capacity)
         # the pallas edge kernel covers the (common) untextured,
         # non-perspective-correct attribute path; other configs use the
-        # XLA tiled pass
+        # XLA tiled pass. Both tiled passes bin whole edges with the exact
+        # band-vs-tile intersection test, so no edge splitting is needed.
         use_pallas_edges = (
             tiling is not None and impl == "pallas" and scene.texture is None and not scene.perspective_correct
         )
-        if tiling is not None and getattr(tiling, "edge_split", 1) > 1 and not use_pallas_edges:
-            # the pallas path bins whole edges with an exact band-vs-tile
-            # intersection test; splitting (tight bboxes) only helps the
-            # bbox-binned XLA path
-            from deodr_tpu.ops.tiled import split_edges
-
-            edges = split_edges(edges, tiling.edge_split, tiling.edge_segment_length)
         cfg = EdgeAAConfig(
             height=height,
             width=width,

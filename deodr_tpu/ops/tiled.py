@@ -487,16 +487,14 @@ def edge_pass_tiled(
     n_tx = -(-width // tw)
     sigma = cfg.sigma
 
-    vx = jnp.stack([edges.v0[:, 0], edges.v1[:, 0]], axis=1)
-    vy = jnp.stack([edges.v0[:, 1], edges.v1[:, 1]], axis=1)
-    x_lo = jnp.clip(jnp.floor(jnp.min(vx, axis=1) - sigma), 0, width - 1)
-    x_hi = jnp.clip(jnp.floor(jnp.max(vx, axis=1) + sigma) + 1, 0, width - 1)
-    y_lo = jnp.clip(jnp.floor(jnp.min(vy, axis=1) - sigma) + 1, 0, height - 1)
-    y_hi = jnp.clip(jnp.floor(jnp.max(vy, axis=1) + sigma), 0, height - 1)
-
-    slots, slot_valid, counts = _bin_to_tiles(
-        x_lo, x_hi, y_lo, y_hi, edges.active, n_ty, n_tx, th, tw, tiling.edge_capacity
+    # exact band-vs-tile binning (same test as the pallas path; binning only
+    # decides which tiles consider which edges — the per-tile stencil clips
+    # exactly, so results are invariant to the binning rule)
+    mask = _edge_band_tile_mask(
+        jax.lax.stop_gradient(edges.v0), jax.lax.stop_gradient(edges.v1), sigma,
+        edges.active, n_ty, n_tx, th, tw, height, width,
     )
+    slots, slot_valid, counts = _compact_bins(mask, tiling.edge_capacity)
 
     # pad buffer / z_buffer to the tile grid and split into tiles
     ph, pw = n_ty * th - height, n_tx * tw - width
@@ -760,38 +758,15 @@ def suggest_tiling(
         i1 = faces[tri_ids, sub1[slot]]
         p0 = ij[i0]
         p1 = ij[i1]
-        length = _np.sqrt(((p1 - p0) ** 2).sum(axis=1))
-        if for_pallas:
-            # mirror the exact band-vs-tile SAT binning of the pallas path
-            # (whole edges, no splitting)
-            mask = _np.asarray(
-                _edge_band_tile_mask(
-                    jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32), float(sigma),
-                    jnp.ones((len(p0),), bool), n_ty, n_tx, tile_h, tile_w, height, width,
-                )
+        # mirror the exact band-vs-tile SAT binning used by both tiled edge
+        # passes (whole edges, no splitting)
+        mask = _np.asarray(
+            _edge_band_tile_mask(
+                jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32), float(sigma),
+                jnp.ones((len(p0),), bool), n_ty, n_tx, tile_h, tile_w, height, width,
             )
-            edge_cap = int(mask.sum(axis=1).max()) if mask.size else 0
-        elif len(length) and _np.median(length) > seg_len:
-            edge_split = int(min(8, max(1, _np.ceil(length.max() / seg_len))))
-        if not for_pallas:
-            if edge_split > 1:
-                # replicate split_edges' segmentation for the occupancy estimate
-                n_seg = _np.clip(_np.ceil(length / seg_len), 1, edge_split)
-                ks = _np.arange(edge_split)
-                t0 = _np.minimum(ks[None, :] / n_seg[:, None], 1.0)
-                t1 = _np.minimum((ks[None, :] + 1) / n_seg[:, None], 1.0)
-                s0 = p0[:, None, :] + t0[:, :, None] * (p1 - p0)[:, None, :]
-                s1 = p0[:, None, :] + t1[:, :, None] * (p1 - p0)[:, None, :]
-                valid = (ks[None, :] < n_seg[:, None]).reshape(-1)
-                p0 = s0.reshape(-1, 2)
-                p1 = s1.reshape(-1, 2)
-            else:
-                valid = _np.ones(len(i0), bool)
-            ex_lo = _np.clip(_np.floor(_np.minimum(p0[:, 0], p1[:, 0]) - sigma), 0, width - 1)
-            ex_hi = _np.clip(_np.floor(_np.maximum(p0[:, 0], p1[:, 0]) + sigma) + 1, 0, width - 1)
-            ey_lo = _np.clip(_np.floor(_np.minimum(p0[:, 1], p1[:, 1]) - sigma) + 1, 0, height - 1)
-            ey_hi = _np.clip(_np.floor(_np.maximum(p0[:, 1], p1[:, 1]) + sigma), 0, height - 1)
-            edge_cap = occupancy(ex_lo, ex_hi, ey_lo, ey_hi, valid)
+        )
+        edge_cap = int(mask.sum(axis=1).max()) if mask.size else 0
 
     def bucket(n):
         import math
