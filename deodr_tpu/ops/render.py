@@ -218,7 +218,13 @@ def render_scene(
         texture = scene.texture
         if texture is None:
             texture = jnp.zeros((1, 1, scene.colors.shape[1]), scene.colors.dtype)
-        if tiling is not None:
+        # textured scenes skip the *tiled* edge pass even when tiling is on:
+        # its reverse scan would carry a full texture-gradient buffer per
+        # framebuffer tile (n_tiles x texture bytes of HBM traffic per edge
+        # slot — ~100 GB for a 512^2 texture at 640x480), while the untiled
+        # pass carries exactly one
+        use_tiled_edges = tiling is not None and scene.texture is None
+        if use_tiled_edges:
             if use_pallas_edges:
                 from deodr_tpu.ops.tiled import edge_pass_tiled_pallas
 
