@@ -35,7 +35,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from deodr_tpu.ops.common import bilinear_sample, floor_div, inv3x3
+from typing import Optional, Tuple
+
+from deodr_tpu.ops.common import bilinear_sample, bilinear_sample_window_mxu, floor_div, inv3x3
 
 
 class EdgeData(NamedTuple):
@@ -61,15 +63,25 @@ class EdgeAAConfig(NamedTuple):
     perspective_correct: bool
     error_mode: bool
     has_texture: bool
+    # static texture-window shape: per-edge texture taps lie on the uv
+    # segment [uv0, uv1] (the band's barycentrics satisfy b0 + b1 = 1), so
+    # sampling/gradients can touch a small dynamic_slice of the texture
+    # instead of the whole atlas. None = full-texture access.
+    tex_win: Optional[Tuple[int, int]] = None
 
 
-def _edge_stencil(cfg: EdgeAAConfig, v0, v1, dtype):
+def _edge_stencil(cfg: EdgeAAConfig, v0, v1, dtype, oy=None, ox=None, win=None):
     """Band coverage and the affine maps (x,y,1) → (b0, b1, T) for one edge.
 
     Equivalent of ``get_edge_stencil_equations`` +
     ``get_edge_xrange_from_ineq`` (reference:
     C++/DifferentiableRenderer.h:1366-1460, :2620-2648).
     Returns (cov (H, W) bool, bary_coef (2, 3), t_coef (3,)).
+
+    With ``oy/ox/win`` set, coverage is evaluated only on the
+    ``win``-shaped window whose top-left pixel is (oy, ox) — all
+    coordinates stay global, so results match the full-frame evaluation
+    restricted to that window.
     """
     height, width = cfg.height, cfg.width
     if cfg.clockwise:
@@ -99,14 +111,20 @@ def _edge_stencil(cfg: EdgeAAConfig, v0, v1, dtype):
         ]
     )  # (4, 3)
 
-    yy = jnp.arange(height, dtype=dtype)
-    xx = jnp.arange(width, dtype=dtype)
+    if win is None:
+        yy = jnp.arange(height, dtype=dtype)
+        xx = jnp.arange(width, dtype=dtype)
+        n_rows = height
+    else:
+        yy = oy.astype(dtype) + jnp.arange(win[0], dtype=dtype)
+        xx = ox.astype(dtype) + jnp.arange(win[1], dtype=dtype)
+        n_rows = win[0]
 
     y_lo = jnp.maximum(jnp.floor(jnp.minimum(v0[1], v1[1]) - cfg.sigma) + 1, 0.0)
     y_hi = jnp.minimum(jnp.floor(jnp.maximum(v0[1], v1[1]) + cfg.sigma), float(height - 1))
 
-    x_begin = jnp.zeros((height,), dtype)
-    x_end = jnp.full((height,), float(width - 1), dtype)
+    x_begin = jnp.zeros((n_rows,), dtype)
+    x_end = jnp.full((n_rows,), float(width - 1), dtype)
     # sequential constraint refinement, matching the reference's loop order
     for k in range(4):
         a, b, c = ineq[k, 0], ineq[k, 1], ineq[k, 2]
@@ -120,14 +138,27 @@ def _edge_stencil(cfg: EdgeAAConfig, v0, v1, dtype):
     return cov, bary_coef, t_coef
 
 
-def _edge_fragment(cfg: EdgeAAConfig, edge: EdgeData, z_buffer, texture, obs):
-    """Per-pixel blend mask, transparency T and edge value A for one edge."""
+def _edge_fragment(
+    cfg: EdgeAAConfig, edge: EdgeData, z_buffer, texture, obs,
+    oy=None, ox=None, win=None, tex_origin=None, tex_full_hw=None,
+):
+    """Per-pixel blend mask, transparency T and edge value A for one edge.
+
+    With ``oy/ox/win`` set, ``z_buffer`` must be the (win-shaped) window at
+    that origin and all outputs are window-shaped. With ``tex_origin`` set,
+    ``texture`` is a window of the full (``tex_full_hw``-shaped) texture at
+    that origin.
+    """
     height, width = cfg.height, cfg.width
     dtype = edge.v0.dtype
-    cov, bary_coef, t_coef = _edge_stencil(cfg, edge.v0, edge.v1, dtype)
+    cov, bary_coef, t_coef = _edge_stencil(cfg, edge.v0, edge.v1, dtype, oy=oy, ox=ox, win=win)
 
-    yy = jnp.arange(height, dtype=dtype)[:, None]
-    xx = jnp.arange(width, dtype=dtype)[None, :]
+    if win is None:
+        yy = jnp.arange(height, dtype=dtype)[:, None]
+        xx = jnp.arange(width, dtype=dtype)[None, :]
+    else:
+        yy = (oy.astype(dtype) + jnp.arange(win[0], dtype=dtype))[:, None]
+        xx = (ox.astype(dtype) + jnp.arange(win[1], dtype=dtype))[None, :]
     b0 = bary_coef[0, 0] * xx + bary_coef[0, 1] * yy + bary_coef[0, 2]
     b1 = bary_coef[1, 0] * xx + bary_coef[1, 1] * yy + bary_coef[1, 2]
     t = t_coef[0] * xx + t_coef[1] * yy + t_coef[2]
@@ -156,7 +187,10 @@ def _edge_fragment(cfg: EdgeAAConfig, edge: EdgeData, z_buffer, texture, obs):
         lum = b0 * edge.shades[0] + b1 * edge.shades[1]
         if cfg.perspective_correct:
             lum = (b0 * edge.shades[0] / edge.z[0] + b1 * edge.shades[1] / edge.z[1]) * z
-        tex_px = bilinear_sample(texture, uv_px) * lum[..., None]
+        if tex_origin is not None:
+            tex_px = bilinear_sample_window_mxu(texture, uv_px, tex_origin, tex_full_hw) * lum[..., None]
+        else:
+            tex_px = bilinear_sample(texture, uv_px) * lum[..., None]
         a_px = jnp.where(edge.use_texture, tex_px, a_px)
     a_px = jnp.where(mask[..., None], a_px, 0.0)
     return mask, t_safe, a_px
@@ -169,6 +203,264 @@ def _blend_step(cfg: EdgeAAConfig, buffer, edge: EdgeData, z_buffer, texture, ob
         err = jnp.sum((a_px - jnp.where(mask[..., None], obs, 0.0)) ** 2, axis=-1)
         return jnp.where(mask, t * buffer + (1 - t) * err, buffer)
     return jnp.where(mask[..., None], t[..., None] * buffer + (1 - t[..., None]) * a_px, buffer)
+
+
+def _i0(ref):
+    return jnp.zeros((), ref.dtype)
+
+
+def _window_origin(cfg: EdgeAAConfig, edge: EdgeData, win):
+    """Top-left (row, col) of the static ``win``-shaped window containing the
+    edge's antialiasing band (edge bbox grown by sigma, clamped in-frame)."""
+    ymin = jnp.minimum(edge.v0[1], edge.v1[1]) - cfg.sigma
+    xmin = jnp.minimum(edge.v0[0], edge.v1[0]) - cfg.sigma
+    oy = jnp.clip(jnp.nan_to_num(jnp.floor(ymin)), 0, max(cfg.height - win[0], 0)).astype(jnp.int32)
+    ox = jnp.clip(jnp.nan_to_num(jnp.floor(xmin)), 0, max(cfg.width - win[1], 0)).astype(jnp.int32)
+    return jax.lax.stop_gradient(oy), jax.lax.stop_gradient(ox)
+
+
+def _blend_step_window(
+    cfg: EdgeAAConfig, buf_win, edge: EdgeData, z_win, texture, obs_win, oy, ox, win,
+    tex_origin=None, tex_full_hw=None,
+):
+    """One painter blend restricted to a window (global coordinates)."""
+    mask, t, a_px = _edge_fragment(
+        cfg, edge, z_win, texture, obs_win, oy=oy, ox=ox, win=win,
+        tex_origin=tex_origin, tex_full_hw=tex_full_hw,
+    )
+    if cfg.error_mode:
+        err = jnp.sum((a_px - jnp.where(mask[..., None], obs_win, 0.0)) ** 2, axis=-1)
+        return jnp.where(mask, t * buf_win + (1 - t) * err, buf_win)
+    return jnp.where(mask[..., None], t[..., None] * buf_win + (1 - t[..., None]) * a_px, buf_win)
+
+
+def _use_tex_win(cfg: EdgeAAConfig, texture) -> bool:
+    return (
+        cfg.has_texture
+        and cfg.tex_win is not None
+        and cfg.tex_win[0] <= texture.shape[0]
+        and cfg.tex_win[1] <= texture.shape[1]
+        and cfg.tex_win != (texture.shape[0], texture.shape[1])
+    )
+
+
+def _tex_window_origin(cfg: EdgeAAConfig, edge: EdgeData, texture):
+    """Top-left (row, col) texel of the static uv window for one edge: band
+    uv lies on the segment [uv0, uv1], so all bilinear taps fit a window of
+    size >= uv span + 3."""
+    th, tw = texture.shape[0], texture.shape[1]
+    uv_lo = jax.lax.stop_gradient(jnp.nan_to_num(jnp.floor(jnp.minimum(edge.uvs[0], edge.uvs[1]))))
+    tou = jnp.clip(uv_lo[1], 0, max(th - cfg.tex_win[0], 0)).astype(jnp.int32)
+    tov = jnp.clip(uv_lo[0], 0, max(tw - cfg.tex_win[1], 0)).astype(jnp.int32)
+    return tou, tov
+
+
+def _slice_tex(cfg: EdgeAAConfig, texture, tou, tov):
+    return jax.lax.dynamic_slice(
+        texture, (tou, tov, jnp.zeros((), tou.dtype)), cfg.tex_win + (texture.shape[2],)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 6))
+def edge_overdraw_pass_windowed(cfg: EdgeAAConfig, buffer0, edges: EdgeData, texture, z_buffer, obs, win):
+    """Same compositing as :func:`edge_overdraw_pass`, but each scan step
+    touches only a static ``win = (wh, ww)`` window around the edge's band
+    instead of the full framebuffer.
+
+    Bands are thin slivers (length ≤ edge length + 2, width 2·sigma), so at
+    640×480 full-frame steps waste >100× the pixel work; callers pick ``win``
+    eagerly from the max band bbox over active silhouette edges (see
+    ``Scene3D._eager_plan``), making results identical to the full pass.
+    """
+
+    tex_wind = _use_tex_win(cfg, texture)
+    tex_full_hw = (texture.shape[0], texture.shape[1])
+
+    def step(buf, edge):
+        oy, ox = _window_origin(cfg, edge, win)
+        if cfg.error_mode:
+            sl, sz = (oy, ox), win
+            obs_win = jax.lax.dynamic_slice(obs, (oy, ox, _i0(oy)), win + (obs.shape[2],))
+        else:
+            sl, sz = (oy, ox, _i0(oy)), win + (buf.shape[2],)
+            obs_win = None
+        buf_win = jax.lax.dynamic_slice(buf, sl, sz)
+        z_win = jax.lax.dynamic_slice(z_buffer, (oy, ox), win)
+        if tex_wind:
+            tou, tov = _tex_window_origin(cfg, edge, texture)
+            tsl = _slice_tex(cfg, texture, tou, tov)
+            new_win = _blend_step_window(
+                cfg, buf_win, edge, z_win, tsl, obs_win, oy, ox, win,
+                tex_origin=(tou, tov), tex_full_hw=tex_full_hw,
+            )
+        else:
+            new_win = _blend_step_window(cfg, buf_win, edge, z_win, texture, obs_win, oy, ox, win)
+        return jax.lax.dynamic_update_slice(buf, new_win, sl), None
+
+    final, _ = jax.lax.scan(step, buffer0, edges)
+    return final
+
+
+def _edge_pass_win_fwd(cfg, buffer0, edges, texture, z_buffer, obs, win):
+    final = edge_overdraw_pass_windowed(cfg, buffer0, edges, texture, z_buffer, obs, win)
+    return final, (final, edges, texture, z_buffer, obs)
+
+
+def _edge_pass_win_bwd(cfg, win, residuals, g):
+    final, edges, texture, z_buffer, obs = residuals
+    tex_wind = _use_tex_win(cfg, texture)
+    tex_full_hw = (texture.shape[0], texture.shape[1])
+
+    def rev_step(carry, edge):
+        buf_after, g_buf, tex_b = carry
+        oy, ox = _window_origin(cfg, edge, win)
+        if cfg.error_mode:
+            sl, sz = (oy, ox), win
+            obs_win = jax.lax.dynamic_slice(obs, (oy, ox, _i0(oy)), win + (obs.shape[2],))
+        else:
+            sl, sz = (oy, ox, _i0(oy)), win + (buf_after.shape[2],)
+            obs_win = None
+        buf_win = jax.lax.dynamic_slice(buf_after, sl, sz)
+        g_win = jax.lax.dynamic_slice(g_buf, sl, sz)
+        z_win = jax.lax.dynamic_slice(z_buffer, (oy, ox), win)
+        if tex_wind:
+            tou, tov = _tex_window_origin(cfg, edge, texture)
+            tex_in = _slice_tex(cfg, texture, tou, tov)
+            tex_origin = (tou, tov)
+        else:
+            tex_in, tex_origin = texture, None
+        mask, t, a_px = _edge_fragment(
+            cfg, edge, z_win, tex_in, obs_win, oy=oy, ox=ox, win=win,
+            tex_origin=tex_origin, tex_full_hw=tex_full_hw,
+        )
+        # un-blend (reference: C++/DifferentiableRenderer.h:1738), with the
+        # same |t| floor as the full-frame backward
+        eps = 1e-6
+        t_div = jnp.where(jnp.abs(t) < eps, jnp.where(t < 0, -eps, eps), t)
+        if cfg.error_mode:
+            err = jnp.sum((a_px - jnp.where(mask[..., None], obs_win, 0.0)) ** 2, axis=-1)
+            before_win = jnp.where(mask, (buf_win - (1 - t) * err) / t_div, buf_win)
+        else:
+            tm = t_div[..., None]
+            before_win = jnp.where(mask[..., None], (buf_win - (1 - t[..., None]) * a_px) / tm, buf_win)
+
+        def f(bw, e, tex):
+            return _blend_step_window(
+                cfg, bw, e, z_win, tex, obs_win, oy, ox, win,
+                tex_origin=tex_origin, tex_full_hw=tex_full_hw,
+            )
+
+        _, vjp_fn = jax.vjp(f, before_win, edge, tex_in)
+        g_before_win, edge_b, tex_inc = vjp_fn(g_win)
+        buf_before = jax.lax.dynamic_update_slice(buf_after, before_win, sl)
+        g_before = jax.lax.dynamic_update_slice(g_buf, g_before_win, sl)
+        if tex_wind:
+            # windowed read-modify-write on the texture-gradient carry —
+            # the DS/DUS pair aliases in place inside the scan, unlike a
+            # full-texture add (which copies the whole atlas every step)
+            acc = _slice_tex(cfg, tex_b, tou, tov)
+            tex_b = jax.lax.dynamic_update_slice(tex_b, acc + tex_inc, (tou, tov, _i0(tou)))
+        else:
+            tex_b = tex_b + tex_inc
+        return (buf_before, g_before, tex_b), edge_b
+
+    tex_zero = jnp.zeros_like(texture)
+    (_, g0, tex_b), edges_b = jax.lax.scan(
+        rev_step, (final, g, tex_zero), edges, reverse=True
+    )
+    return g0, edges_b, tex_b, jnp.zeros_like(z_buffer), jnp.zeros_like(obs)
+
+
+edge_overdraw_pass_windowed.defvjp(_edge_pass_win_fwd, _edge_pass_win_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 7))
+def edge_overdraw_pass_window_at(cfg: EdgeAAConfig, buffer_win, edges: EdgeData, texture, z_win, obs_win, origin, win):
+    """Composite edge bands over a fixed window of the framebuffer.
+
+    ``buffer_win``/``z_win``/``obs_win`` are the ``win``-shaped window whose
+    top-left pixel is ``origin = (oy, ox)``; ``cfg.height/width`` stay the
+    FULL frame dims and all stencils evaluate in global coordinates — so a
+    tiled caller (one window per framebuffer tile) reproduces the untiled
+    pass bit-for-bit: shifting vertices per tile instead would re-round the
+    stencil equations in fp32 and flip pixel inclusion on band boundaries.
+
+    ``origin`` is a (2,) float array (int-valued) so the custom VJP can
+    return an ordinary zero cotangent for it.
+    """
+    oy = origin[0].astype(jnp.int32)
+    ox = origin[1].astype(jnp.int32)
+    tex_wind = _use_tex_win(cfg, texture)
+    tex_full_hw = (texture.shape[0], texture.shape[1])
+
+    def step(buf, edge):
+        if tex_wind:
+            tou, tov = _tex_window_origin(cfg, edge, texture)
+            tsl = _slice_tex(cfg, texture, tou, tov)
+            return _blend_step_window(
+                cfg, buf, edge, z_win, tsl, obs_win, oy, ox, win,
+                tex_origin=(tou, tov), tex_full_hw=tex_full_hw,
+            ), None
+        return _blend_step_window(cfg, buf, edge, z_win, texture, obs_win, oy, ox, win), None
+
+    final, _ = jax.lax.scan(step, buffer_win, edges)
+    return final
+
+
+def _edge_pass_at_fwd(cfg, buffer_win, edges, texture, z_win, obs_win, origin, win):
+    final = edge_overdraw_pass_window_at(cfg, buffer_win, edges, texture, z_win, obs_win, origin, win)
+    return final, (final, edges, texture, z_win, obs_win, origin)
+
+
+def _edge_pass_at_bwd(cfg, win, residuals, g):
+    final, edges, texture, z_win, obs_win, origin = residuals
+    oy = origin[0].astype(jnp.int32)
+    ox = origin[1].astype(jnp.int32)
+    tex_wind = _use_tex_win(cfg, texture)
+    tex_full_hw = (texture.shape[0], texture.shape[1])
+
+    def rev_step(carry, edge):
+        buf_after, g_buf, tex_b = carry
+        if tex_wind:
+            tou, tov = _tex_window_origin(cfg, edge, texture)
+            tex_in, tex_origin = _slice_tex(cfg, texture, tou, tov), (tou, tov)
+        else:
+            tex_in, tex_origin = texture, None
+        mask, t, a_px = _edge_fragment(
+            cfg, edge, z_win, tex_in, obs_win, oy=oy, ox=ox, win=win,
+            tex_origin=tex_origin, tex_full_hw=tex_full_hw,
+        )
+        eps = 1e-6
+        t_div = jnp.where(jnp.abs(t) < eps, jnp.where(t < 0, -eps, eps), t)
+        if cfg.error_mode:
+            err = jnp.sum((a_px - jnp.where(mask[..., None], obs_win, 0.0)) ** 2, axis=-1)
+            before = jnp.where(mask, (buf_after - (1 - t) * err) / t_div, buf_after)
+        else:
+            tm = t_div[..., None]
+            before = jnp.where(mask[..., None], (buf_after - (1 - t[..., None]) * a_px) / tm, buf_after)
+
+        def f(bw, e, tex):
+            return _blend_step_window(
+                cfg, bw, e, z_win, tex, obs_win, oy, ox, win,
+                tex_origin=tex_origin, tex_full_hw=tex_full_hw,
+            )
+
+        _, vjp_fn = jax.vjp(f, before, edge, tex_in)
+        g_before, edge_b, tex_inc = vjp_fn(g_buf)
+        if tex_wind:
+            acc = _slice_tex(cfg, tex_b, tou, tov)
+            tex_b = jax.lax.dynamic_update_slice(tex_b, acc + tex_inc, (tou, tov, _i0(tou)))
+        else:
+            tex_b = tex_b + tex_inc
+        return (before, g_before, tex_b), edge_b
+
+    (_, g0, tex_b), edges_b = jax.lax.scan(
+        rev_step, (final, g, jnp.zeros_like(texture)), edges, reverse=True
+    )
+    return g0, edges_b, tex_b, jnp.zeros_like(z_win), jnp.zeros_like(obs_win), jnp.zeros_like(origin)
+
+
+edge_overdraw_pass_window_at.defvjp(_edge_pass_at_fwd, _edge_pass_at_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from deodr_tpu.ops.edge_aa import EdgeAAConfig, EdgeData, edge_overdraw_pass
+from deodr_tpu.ops.edge_aa import EdgeAAConfig, EdgeData, edge_overdraw_pass, edge_overdraw_pass_windowed
 from deodr_tpu.ops.raster import find_winners, shade_pixels
 
 
@@ -114,6 +114,8 @@ def render_scene(
     tiling=None,
     impl: Optional[str] = "xla",
     impl_interpret: bool = False,
+    aa_window: Optional[tuple] = None,
+    aa_tex_window: Optional[tuple] = None,
 ):
     """Render a 2.5D scene.
 
@@ -214,6 +216,7 @@ def render_scene(
             perspective_correct=bool(scene.perspective_correct),
             error_mode=bool(antialiase_error),
             has_texture=scene.texture is not None,
+            tex_win=aa_tex_window if scene.texture is not None else None,
         )
         texture = scene.texture
         if texture is None:
@@ -244,10 +247,16 @@ def render_scene(
                 else:
                     image, _ = edge_pass_tiled(cfg, image, edges, texture, z_buffer, None, tiling)
         elif antialiase_error:
-            err_buffer = edge_overdraw_pass(cfg, err_buffer, edges, texture, z_buffer, obs)
+            if aa_window is not None:
+                err_buffer = edge_overdraw_pass_windowed(cfg, err_buffer, edges, texture, z_buffer, obs, aa_window)
+            else:
+                err_buffer = edge_overdraw_pass(cfg, err_buffer, edges, texture, z_buffer, obs)
         else:
             obs_dummy = jnp.zeros((1, 1, 1), image.dtype) if obs is None else obs
-            image = edge_overdraw_pass(cfg, image, edges, texture, z_buffer, obs_dummy)
+            if aa_window is not None:
+                image = edge_overdraw_pass_windowed(cfg, image, edges, texture, z_buffer, obs_dummy, aa_window)
+            else:
+                image = edge_overdraw_pass(cfg, image, edges, texture, z_buffer, obs_dummy)
 
     return image, z_buffer, err_buffer
 
@@ -334,7 +343,7 @@ def _order_descending(keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ip,i->p", onehot, idx.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling", "impl"))
+@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling", "impl", "aa_window", "aa_tex_window"))
 def render_scene_jit(
     scene: SceneBuffers,
     sigma: float,
@@ -344,6 +353,8 @@ def render_scene_jit(
     aa_edge_capacity: Optional[int] = None,
     tiling=None,
     impl: Optional[str] = "xla",
+    aa_window: Optional[tuple] = None,
+    aa_tex_window: Optional[tuple] = None,
 ):
     """Compile-cached entry point for :func:`render_scene`."""
     return render_scene(
@@ -355,4 +366,6 @@ def render_scene_jit(
         aa_edge_capacity=aa_edge_capacity,
         tiling=tiling,
         impl=impl,
+        aa_window=aa_window,
+        aa_tex_window=aa_tex_window,
     )

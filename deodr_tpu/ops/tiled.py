@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from deodr_tpu.ops.raster import TriangleRowSetup, triangle_row_setup
 from deodr_tpu.ops.common import ceil_div, floor_div
-from deodr_tpu.ops.edge_aa import EdgeAAConfig, EdgeData, edge_overdraw_pass
+from deodr_tpu.ops.edge_aa import EdgeAAConfig, EdgeData, edge_overdraw_pass, edge_overdraw_pass_window_at
 
 
 class TilingConfig(NamedTuple):
@@ -509,28 +509,19 @@ def edge_pass_tiled(
     z_t = to_tiles(z_buffer, jnp.inf)
     obs_t = to_tiles(obs, 0.0) if (cfg.error_mode and obs is not None) else None
 
-    tile_cfg = EdgeAAConfig(
-        height=th,
-        width=tw,
-        sigma=cfg.sigma,
-        clockwise=cfg.clockwise,
-        perspective_correct=cfg.perspective_correct,
-        error_mode=cfg.error_mode,
-        has_texture=cfg.has_texture,
-    )
     tile_ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
 
     def one_tile(tile_id, buf, zb, obs_tile, edge_slots, edge_slot_valid):
         ty = tile_id // n_tx
         tx = tile_id % n_tx
-        offset = jnp.stack([(tx * tw).astype(buffer.dtype), (ty * th).astype(buffer.dtype)])
+        # stencils evaluate in GLOBAL coordinates on the tile's window —
+        # shifting vertices per tile would re-round the edge equations in
+        # fp32 and flip pixel inclusion on band boundaries vs the untiled
+        # pass (cfg keeps the full-frame height/width for border clamps)
+        origin = jnp.stack([(ty * th).astype(buffer.dtype), (tx * tw).astype(buffer.dtype)])
         e: EdgeData = jax.tree.map(lambda a: a[edge_slots], edges)
-        e = e._replace(
-            v0=e.v0 - offset[None, :],
-            v1=e.v1 - offset[None, :],
-            active=e.active & edge_slot_valid,
-        )
-        return edge_overdraw_pass(tile_cfg, buf, e, texture, zb, obs_tile)
+        e = e._replace(active=e.active & edge_slot_valid)
+        return edge_overdraw_pass_window_at(cfg, buf, e, texture, zb, obs_tile, origin, (th, tw))
 
     if obs_t is None:
         obs_dummy = jnp.zeros((1, 1, 1), buffer.dtype)

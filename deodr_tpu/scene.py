@@ -401,6 +401,8 @@ class Scene3D:
         points_np = np.asarray(points_2d)
         cap = None
         edgeflags_np = None
+        aa_window = None
+        aa_tex_window = None
         if self.sigma > 0:
             flags = mesh.edge_on_silhouette(points_2d)
             visible = mesh.adjacencies.face_visible(points_2d)
@@ -408,6 +410,34 @@ class Scene3D:
             count = int(edgeflags_np.sum())
             bucket = int(2 ** np.ceil(np.log2(max(count, 8))))
             cap = min(3 * mesh.nb_faces, bucket)
+            if count > 0:
+                # static window bounding the largest silhouette band (edge
+                # bbox + sigma on each side), bucketed for jit-key stability;
+                # the sequential edge blend then touches O(window) pixels per
+                # edge instead of the full frame
+                faces = np.asarray(mesh.faces)
+                i0 = faces[:, [1, 2, 0]][edgeflags_np]
+                i1 = faces[:, [0, 1, 2]][edgeflags_np]
+                span = np.abs(points_np[i0] - points_np[i1])  # (E, 2) |dx|, |dy|
+                need_w, need_h = (span.max(axis=0) + 2 * self.sigma + 4).astype(int)
+                wh = min(int(2 ** np.ceil(np.log2(max(need_h, 8)))), camera.height)
+                ww = min(int(2 ** np.ceil(np.log2(max(need_w, 128)))), camera.width)
+                if wh * ww * 4 <= camera.height * camera.width:
+                    aa_window = (wh, ww)
+                if mesh.texture is not None and mesh.uv is not None:
+                    # same idea in texture space: band uv lies on the segment
+                    # [uv0, uv1], so per-edge texture taps fit a small window
+                    fuv = np.asarray(mesh.faces_uv if getattr(mesh, 'faces_uv', None) is not None else mesh.faces)
+                    uv_np = np.asarray(mesh.uv)
+                    j0 = fuv[:, [1, 2, 0]][edgeflags_np]
+                    j1 = fuv[:, [0, 1, 2]][edgeflags_np]
+                    uspan = np.abs(uv_np[j0] - uv_np[j1])  # (E, 2) |du|, |dv|
+                    tn_w, tn_h = (uspan.max(axis=0) + 4).astype(int)
+                    th, tw = mesh.texture.shape[0], mesh.texture.shape[1]
+                    twh = min(int(2 ** np.ceil(np.log2(max(tn_h, 8)))), th)
+                    tww = min(int(2 ** np.ceil(np.log2(max(tn_w, 128)))), tw)
+                    if (twh, tww) != (th, tw):
+                        aa_tex_window = (twh, tww)
         tiling = None
         if mesh.nb_faces > 256:
             from deodr_tpu.ops.render import default_impl
@@ -423,7 +453,7 @@ class Scene3D:
                 edgeflags=edgeflags_np,
                 for_pallas=(default_impl() == "pallas"),
             )
-        return cap, tiling
+        return cap, tiling, aa_window, aa_tex_window
 
     def _camera_key(self, camera: Camera):
         dist = b"" if camera.distortion is None else camera.distortion.tobytes()
@@ -450,7 +480,7 @@ class Scene3D:
         )
 
     def _render_config(self, camera, backface_culling, depth_only_scale):
-        cap, tiling = self._eager_plan(camera)
+        cap, tiling, aa_window, aa_tex_window = self._eager_plan(camera)
         inputs = self._diff_inputs(depth_only_scale is not None)
         key = (
             self._camera_key(camera),
@@ -460,6 +490,8 @@ class Scene3D:
             float(self.sigma),
             cap,
             tiling,
+            aa_window,
+            aa_tex_window,
             backface_culling,
             depth_only_scale,
             tuple(None if x is None else x.shape for x in inputs),
@@ -474,7 +506,8 @@ class Scene3D:
                     backface_culling, depth_only_scale,
                 )
                 image, z_buffer, _ = render_scene(
-                    buffers, float(self.sigma), aa_edge_capacity=cap, tiling=tiling, impl=None
+                    buffers, float(self.sigma), aa_edge_capacity=cap, tiling=tiling, impl=None,
+                    aa_window=aa_window, aa_tex_window=aa_tex_window,
                 )
                 return image, z_buffer
 
