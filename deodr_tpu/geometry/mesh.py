@@ -58,6 +58,8 @@ class TriMesh:
         self._vertices = vertices
         self._face_normals = None
         self._vertex_normals = None
+        # geometry version: lets render-plan caches detect unchanged vertices
+        self._geometry_version = getattr(self, "_geometry_version", 0) + 1
 
     def compute_volume(self):
         """Signed volume of a closed manifold surface

@@ -108,7 +108,7 @@ def _compact_bins(mask: jnp.ndarray, capacity: int):
     return slots, slot_valid, counts
 
 
-def _edge_band_tile_mask(v0, v1, sigma, active, n_ty, n_tx, tile_h, tile_w, height, width, margin=1.0):
+def _edge_band_tile_mask(v0, v1, sigma, active, n_ty, n_tx, tile_h, tile_w, height, width, margin=1.0, xp=jnp):
     """(n_tiles, E) bool: does edge e's antialiasing band — the closed
     parallelogram spanned by the edge and its outward normal × sigma —
     intersect tile t? Exact separating-axis test (the band's two axes plus
@@ -120,42 +120,42 @@ def _edge_band_tile_mask(v0, v1, sigma, active, n_ty, n_tx, tile_h, tile_w, heig
     (which multiplies every per-edge setup cost)."""
     dtype = v0.dtype
     d = v1 - v0  # (E, 2) edge direction (not normalized; n below unnormalized too)
-    n = jnp.stack([d[:, 1], -d[:, 0]], axis=1)  # one of the two normals; sign-agnostic test below
+    n = xp.stack([d[:, 1], -d[:, 0]], axis=1)  # one of the two normals; sign-agnostic test below
     # band along its own normal: [min(n·v0, n·v0 ± |n|·sigma)] — use both
     # signs so the test is winding-agnostic (conservative 2x band width)
-    c0 = jnp.sum(n * v0, axis=1)
-    half = jnp.sqrt(jnp.sum(n * n, axis=1)) * (sigma + margin)
+    c0 = xp.sum(n * v0, axis=1)
+    half = xp.sqrt(xp.sum(n * n, axis=1)) * (sigma + margin)
     b_lo_n = c0 - half
     b_hi_n = c0 + half
     # band along the edge direction: projections of the two endpoints
     # (the normal offset is orthogonal to d, so it does not extend this)
-    p0 = jnp.sum(d * v0, axis=1)
-    p1 = jnp.sum(d * v1, axis=1)
-    dl = jnp.sqrt(jnp.sum(d * d, axis=1))
-    b_lo_d = jnp.minimum(p0, p1) - dl * margin
-    b_hi_d = jnp.maximum(p0, p1) + dl * margin
+    p0 = xp.sum(d * v0, axis=1)
+    p1 = xp.sum(d * v1, axis=1)
+    dl = xp.sqrt(xp.sum(d * d, axis=1))
+    b_lo_d = xp.minimum(p0, p1) - dl * margin
+    b_hi_d = xp.maximum(p0, p1) + dl * margin
 
-    tys = jnp.arange(n_ty, dtype=dtype)[:, None]
-    txs = jnp.arange(n_tx, dtype=dtype)[None, :]
+    tys = xp.arange(n_ty, dtype=dtype)[:, None]
+    txs = xp.arange(n_tx, dtype=dtype)[None, :]
     gx0 = (txs * tile_w - margin).reshape(-1)  # (n_tx,)
-    gx1 = (jnp.minimum(txs * tile_w + tile_w - 1, width - 1) + margin).reshape(-1)
+    gx1 = (xp.minimum(txs * tile_w + tile_w - 1, width - 1) + margin).reshape(-1)
     gy0 = (tys * tile_h - margin).reshape(-1)  # (n_ty,)
-    gy1 = (jnp.minimum(tys * tile_h + tile_h - 1, height - 1) + margin).reshape(-1)
+    gy1 = (xp.minimum(tys * tile_h + tile_h - 1, height - 1) + margin).reshape(-1)
 
     # axis-aligned axes: plain bbox overlap
-    ex_lo = jnp.minimum(v0[:, 0], v1[:, 0]) - (sigma + margin)
-    ex_hi = jnp.maximum(v0[:, 0], v1[:, 0]) + (sigma + margin)
-    ey_lo = jnp.minimum(v0[:, 1], v1[:, 1]) - (sigma + margin)
-    ey_hi = jnp.maximum(v0[:, 1], v1[:, 1]) + (sigma + margin)
+    ex_lo = xp.minimum(v0[:, 0], v1[:, 0]) - (sigma + margin)
+    ex_hi = xp.maximum(v0[:, 0], v1[:, 0]) + (sigma + margin)
+    ey_lo = xp.minimum(v0[:, 1], v1[:, 1]) - (sigma + margin)
+    ey_hi = xp.maximum(v0[:, 1], v1[:, 1]) + (sigma + margin)
     ok_x = (gx0[None, :, None] <= ex_hi[None, None, :]) & (gx1[None, :, None] >= ex_lo[None, None, :])  # (1, n_tx, E)
     ok_y = (gy0[:, None, None] <= ey_hi[None, None, :]) & (gy1[:, None, None] >= ey_lo[None, None, :])  # (n_ty, 1, E)
 
     def rect_proj(ax, ay):
         # min/max over the 4 tile corners of ax·x + ay·y, separably
-        px_lo = jnp.minimum(ax[None, :] * gx0[:, None], ax[None, :] * gx1[:, None])  # (n_tx, E)
-        px_hi = jnp.maximum(ax[None, :] * gx0[:, None], ax[None, :] * gx1[:, None])
-        py_lo = jnp.minimum(ay[None, :] * gy0[:, None], ay[None, :] * gy1[:, None])  # (n_ty, E)
-        py_hi = jnp.maximum(ay[None, :] * gy0[:, None], ay[None, :] * gy1[:, None])
+        px_lo = xp.minimum(ax[None, :] * gx0[:, None], ax[None, :] * gx1[:, None])  # (n_tx, E)
+        px_hi = xp.maximum(ax[None, :] * gx0[:, None], ax[None, :] * gx1[:, None])
+        py_lo = xp.minimum(ay[None, :] * gy0[:, None], ay[None, :] * gy1[:, None])  # (n_ty, E)
+        py_hi = xp.maximum(ay[None, :] * gy0[:, None], ay[None, :] * gy1[:, None])
         return px_lo, px_hi, py_lo, py_hi
 
     nx_lo, nx_hi, ny_lo, ny_hi = rect_proj(n[:, 0], n[:, 1])
@@ -750,12 +750,13 @@ def suggest_tiling(
         p0 = ij[i0]
         p1 = ij[i1]
         # mirror the exact band-vs-tile SAT binning used by both tiled edge
-        # passes (whole edges, no splitting)
-        mask = _np.asarray(
-            _edge_band_tile_mask(
-                jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32), float(sigma),
-                jnp.ones((len(p0),), bool), n_ty, n_tx, tile_h, tile_w, height, width,
-            )
+        # passes (whole edges, no splitting) — in numpy: this runs eagerly
+        # per fitting iteration, and eager jnp ops each pay a device
+        # (tunnel) roundtrip
+        mask = _edge_band_tile_mask(
+            p0.astype(_np.float32), p1.astype(_np.float32), float(sigma),
+            _np.ones((len(p0),), bool), n_ty, n_tx, tile_h, tile_w, height, width,
+            xp=_np,
         )
         edge_cap = int(mask.sum(axis=1).max()) if mask.size else 0
 

@@ -161,7 +161,7 @@ class Scene2D:
         buffers = self._buffers(*self._diff_inputs())
         image, z_buffer, _ = render_scene_jit(buffers, float(sigma), aa_edge_capacity=cap)
         self._store = ("image", float(sigma), cap, buffers, None)
-        return np.asarray(image), np.asarray(z_buffer)
+        return jax.device_get((image, z_buffer))
 
     def render_error(self, obs, sigma: float = 1):
         """Returns (image, z_buffer, err_buffer) in antialiased-residual mode."""
@@ -172,7 +172,7 @@ class Scene2D:
             buffers, float(sigma), antialiase_error=True, obs=obs_j, aa_edge_capacity=cap
         )
         self._store = ("error", float(sigma), cap, buffers, obs_j)
-        return np.asarray(image), np.asarray(z_buffer), np.asarray(err_buffer)
+        return jax.device_get((image, z_buffer, err_buffer))
 
     def _check_backward_supported(self):
         if self.perspective_correct:
@@ -184,13 +184,15 @@ class Scene2D:
             )
 
     def _accumulate_grads(self, grads):
-        ij_b, colors_b, uv_b, shade_b, texture_b = grads
-        self.ij_b += np.asarray(ij_b)
-        self.colors_b += np.asarray(colors_b)
-        self.uv_b += np.asarray(uv_b)
-        self.shade_b += np.asarray(shade_b)
+        # one batched device_get: each separate host fetch pays a full
+        # device (tunnel) roundtrip
+        ij_b, colors_b, uv_b, shade_b, texture_b = jax.device_get(grads)
+        self.ij_b += ij_b
+        self.colors_b += colors_b
+        self.uv_b += uv_b
+        self.shade_b += shade_b
         if self.texture.size > 0 and texture_b is not None:
-            self.texture_b += np.asarray(texture_b)
+            self.texture_b += texture_b
 
     def render_backward(self, image_b, make_copies: bool = True) -> None:
         self._check_backward_supported()
@@ -397,61 +399,157 @@ class Scene3D:
         for jit-key stability) and, for large meshes, a tiling config with
         occupancy-derived bin capacities."""
         mesh = self.mesh
-        points_2d, _ = camera.project_points(jax.lax.stop_gradient(_as_f(mesh.vertices)))
-        points_np = np.asarray(points_2d)
+        from deodr_tpu.ops.render import default_impl
+        from deodr_tpu.ops.tiled import TilingConfig, _edge_band_tile_mask
+
+        height, width = camera.height, camera.width
+        sigma = float(self.sigma)
+        want_tiling = mesh.nb_faces > 256
+        for_pallas = default_impl() == "pallas"
+        tile_w = 128 if for_pallas else 64
+        tile_h_candidates = (8, 16, 32, 64)
+        offset = 0.0 if self.integer_pixel_centers else 0.5
+
+        # ALL plan statistics are computed in ONE jitted device call that
+        # returns a flat scalar vector: every host↔device sync through the
+        # tunnel costs ~57 ms regardless of size, so the eager ops /
+        # array transfers this used to do dominated the whole render call
+        def make_plan_fn():
+            def occupancy(x_lo, x_hi, y_lo, y_hi, n_ty, n_tx, th, tw):
+                ty0 = jnp.clip(y_lo // th, 0, n_ty - 1).astype(jnp.int32)
+                ty1 = jnp.clip(y_hi // th, 0, n_ty - 1).astype(jnp.int32)
+                tx0 = jnp.clip(x_lo // tw, 0, n_tx - 1).astype(jnp.int32)
+                tx1 = jnp.clip(x_hi // tw, 0, n_tx - 1).astype(jnp.int32)
+                delta = jnp.zeros((n_ty + 1, n_tx + 1))
+                delta = delta.at[ty0, tx0].add(1.0)
+                delta = delta.at[ty1 + 1, tx0].add(-1.0)
+                delta = delta.at[ty0, tx1 + 1].add(-1.0)
+                delta = delta.at[ty1 + 1, tx1 + 1].add(1.0)
+                counts = jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
+                return counts.max()
+
+            def f(vertices):
+                points_2d, _ = camera.project_points(jax.lax.stop_gradient(vertices))
+                pts = points_2d - offset
+                faces = jnp.asarray(mesh.faces)
+                stats = []
+                if sigma > 0:
+                    flags = mesh.edge_on_silhouette(points_2d)
+                    visible = mesh.adjacencies.face_visible(points_2d)
+                    flags = flags & visible[:, None]
+                    flat = flags.reshape(-1)
+                    i0 = faces[:, [1, 2, 0]].reshape(-1)
+                    i1 = faces[:, [0, 1, 2]].reshape(-1)
+                    span = jnp.abs(pts[i0] - pts[i1]) * flat[:, None]  # (3F, 2)
+                    stats += [flags.sum(), span[:, 1].max(), span[:, 0].max()]
+                    if mesh.texture is not None and mesh.uv is not None:
+                        fuv = jnp.asarray(mesh.faces_uv if getattr(mesh, "faces_uv", None) is not None else mesh.faces)
+                        uv = _as_f(mesh.uv)
+                        j0 = fuv[:, [1, 2, 0]].reshape(-1)
+                        j1 = fuv[:, [0, 1, 2]].reshape(-1)
+                        uspan = jnp.abs(uv[j0] - uv[j1]) * flat[:, None]
+                        stats += [uspan[:, 1].max(), uspan[:, 0].max()]
+                    else:
+                        stats += [jnp.zeros(()), jnp.zeros(())]
+                else:
+                    stats += [jnp.zeros(())] * 5
+                if want_tiling:
+                    tri = pts[faces]
+                    x_lo = jnp.clip(jnp.floor(tri[:, :, 0].min(axis=1)), 0, width - 1)
+                    x_hi = jnp.clip(jnp.floor(tri[:, :, 0].max(axis=1)), 0, width - 1)
+                    y_lo = jnp.clip(jnp.floor(tri[:, :, 1].min(axis=1)), 0, height - 1)
+                    y_hi = jnp.clip(jnp.floor(tri[:, :, 1].max(axis=1)), 0, height - 1)
+                    stats.append(jnp.median(tri[:, :, 1].max(axis=1) - tri[:, :, 1].min(axis=1)))
+                    if sigma > 0:
+                        p0 = pts[i0] * flat[:, None]
+                        p1 = pts[i1] * flat[:, None]
+                    for th in tile_h_candidates:
+                        n_ty = -(-height // th)
+                        n_tx = -(-width // tile_w)
+                        stats.append(occupancy(x_lo, x_hi, y_lo, y_hi, n_ty, n_tx, th, tile_w))
+                        if sigma > 0:
+                            m = _edge_band_tile_mask(
+                                p0.astype(jnp.float32), p1.astype(jnp.float32), sigma,
+                                flat, n_ty, n_tx, th, tile_w, height, width,
+                            )
+                            stats.append(m.sum(axis=1).max())
+                        else:
+                            stats.append(jnp.zeros(()))
+                return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
+
+            return jax.jit(f)
+
+        plan_key = ("plan", self._camera_key(camera), id(self.mesh), self.mesh.nb_vertices,
+                    self.mesh.nb_faces, sigma, want_tiling, for_pallas)
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        # unchanged vertices → identical stats: reuse the previous result
+        # (the fetch itself costs a full device roundtrip)
+        version = getattr(mesh, "_geometry_version", 0)
+        cached = cache.get(("plan_result",) + plan_key)
+        if cached is not None and cached[0] == version:
+            stats = cached[1]
+        else:
+            plan_fn = cache.get(plan_key)
+            if plan_fn is None:
+                plan_fn = make_plan_fn()
+                cache[plan_key] = plan_fn
+            stats = np.asarray(plan_fn(_as_f(mesh.vertices)))  # the ONE sync
+            cache[("plan_result",) + plan_key] = (version, stats)
+
         cap = None
-        edgeflags_np = None
         aa_window = None
         aa_tex_window = None
-        if self.sigma > 0:
-            flags = mesh.edge_on_silhouette(points_2d)
-            visible = mesh.adjacencies.face_visible(points_2d)
-            edgeflags_np = np.asarray(flags & visible[:, None])
-            count = int(edgeflags_np.sum())
+        if sigma > 0:
+            count = int(stats[0])
             bucket = int(2 ** np.ceil(np.log2(max(count, 8))))
             cap = min(3 * mesh.nb_faces, bucket)
             if count > 0:
                 # static window bounding the largest silhouette band (edge
-                # bbox + sigma on each side), bucketed for jit-key stability;
-                # the sequential edge blend then touches O(window) pixels per
-                # edge instead of the full frame
-                faces = np.asarray(mesh.faces)
-                i0 = faces[:, [1, 2, 0]][edgeflags_np]
-                i1 = faces[:, [0, 1, 2]][edgeflags_np]
-                span = np.abs(points_np[i0] - points_np[i1])  # (E, 2) |dx|, |dy|
-                need_w, need_h = (span.max(axis=0) + 2 * self.sigma + 4).astype(int)
-                wh = min(int(2 ** np.ceil(np.log2(max(need_h, 8)))), camera.height)
-                ww = min(int(2 ** np.ceil(np.log2(max(need_w, 128)))), camera.width)
-                if wh * ww * 4 <= camera.height * camera.width:
+                # bbox + sigma on each side), bucketed for jit-key stability
+                need_h = int(stats[1] + 2 * sigma + 4)
+                need_w = int(stats[2] + 2 * sigma + 4)
+                wh = min(int(2 ** np.ceil(np.log2(max(need_h, 8)))), height)
+                ww = min(int(2 ** np.ceil(np.log2(max(need_w, 128)))), width)
+                if wh * ww * 4 <= height * width:
                     aa_window = (wh, ww)
                 if mesh.texture is not None and mesh.uv is not None:
                     # same idea in texture space: band uv lies on the segment
                     # [uv0, uv1], so per-edge texture taps fit a small window
-                    fuv = np.asarray(mesh.faces_uv if getattr(mesh, 'faces_uv', None) is not None else mesh.faces)
-                    uv_np = np.asarray(mesh.uv)
-                    j0 = fuv[:, [1, 2, 0]][edgeflags_np]
-                    j1 = fuv[:, [0, 1, 2]][edgeflags_np]
-                    uspan = np.abs(uv_np[j0] - uv_np[j1])  # (E, 2) |du|, |dv|
-                    tn_w, tn_h = (uspan.max(axis=0) + 4).astype(int)
+                    tn_h = int(stats[3] + 4)
+                    tn_w = int(stats[4] + 4)
                     th, tw = mesh.texture.shape[0], mesh.texture.shape[1]
                     twh = min(int(2 ** np.ceil(np.log2(max(tn_h, 8)))), th)
                     tww = min(int(2 ** np.ceil(np.log2(max(tn_w, 128)))), tw)
                     if (twh, tww) != (th, tw):
                         aa_tex_window = (twh, tww)
-        tiling = None
-        if mesh.nb_faces > 256:
-            from deodr_tpu.ops.render import default_impl
-            from deodr_tpu.ops.tiled import suggest_tiling
 
-            offset = 0.0 if self.integer_pixel_centers else 0.5
-            tiling = suggest_tiling(
-                points_np - offset,
-                mesh.faces,
-                camera.height,
-                camera.width,
-                sigma=self.sigma,
-                edgeflags=edgeflags_np,
-                for_pallas=(default_impl() == "pallas"),
+        tiling = None
+        if want_tiling:
+            med_h = float(stats[5])
+            if med_h <= 12:
+                tile_h = 8
+            elif med_h <= 32:
+                tile_h = 16 if for_pallas else 32
+            else:
+                tile_h = 64
+            tile_h = min(tile_h, max(8, height))
+            k = tile_h_candidates.index(tile_h)
+            tri_cap = int(stats[6 + 2 * k])
+            edge_cap = int(stats[7 + 2 * k]) if sigma > 0 else 8
+
+            def bucket(n, margin=1.5):
+                import math
+
+                n = max(1, int(math.ceil(n * margin)))
+                return max(8, int(2 ** math.ceil(math.log2(n))))
+
+            tiling = TilingConfig(
+                tile_h=tile_h,
+                tile_w=tile_w,
+                triangle_capacity=bucket(tri_cap),
+                edge_capacity=bucket(edge_cap),
+                edge_split=1,
+                edge_segment_length=48.0,
             )
         return cap, tiling, aa_window, aa_tex_window
 
@@ -523,7 +621,7 @@ class Scene3D:
         fwd = self._get_cached_fn(("fwd",) + key, make_forward)
         image, z_buffer = fwd(*inputs)
         self._store = {"mode": "render", "key": key, "inputs": inputs, "make": make_forward, "shape": image.shape}
-        return (np.asarray(image), np.asarray(z_buffer)) if return_z_buffer else np.asarray(image)
+        return jax.device_get((image, z_buffer)) if return_z_buffer else np.asarray(image)
 
     def render_backward(self, image_b) -> None:
         if self.perspective_correct:
@@ -546,16 +644,20 @@ class Scene3D:
             return g
 
         bwd = self._get_cached_fn(("bwd",) + key, make_bwd)
-        vertices_b, colors_b, light_dir_b, light_amb_b, uv_b, texture_b = bwd(*inputs, _as_f(image_b))
+        # one batched device_get: each separate host fetch pays a full
+        # device (tunnel) roundtrip
+        vertices_b, colors_b, light_dir_b, light_amb_b, uv_b, texture_b = jax.device_get(
+            bwd(*inputs, _as_f(image_b))
+        )
         mesh = self.mesh
-        mesh._vertices_b = np.asarray(vertices_b)
-        mesh.vertices_colors_b = None if colors_b is None else np.asarray(colors_b)
-        self.light_directional_b = None if light_dir_b is None else np.asarray(light_dir_b)
+        mesh._vertices_b = vertices_b
+        mesh.vertices_colors_b = colors_b
+        self.light_directional_b = light_dir_b
         self.light_ambient_b = float(light_amb_b)
         if uv_b is not None:
-            mesh.uv_b = np.asarray(uv_b)
+            mesh.uv_b = uv_b
         if texture_b is not None:
-            mesh.texture_b = np.asarray(texture_b)
+            mesh.texture_b = texture_b
 
     def render_depth(self, camera: Camera, depth_scale: float = 1, backface_culling: bool = True):
         assert self.mesh is not None
