@@ -47,26 +47,139 @@ class _FitterRenderCore:
         return self.plan(camera, vertices)[0]
 
     def plan(self, camera: Camera, vertices):
-        """Eager per-step render plan: (aa edge capacity, tiling config)."""
-        pts, _ = camera.project_points(jax.lax.stop_gradient(jnp.asarray(vertices)))
-        pts_np = np.asarray(pts)
-        cap = None
-        edgeflags_np = None
-        if self.sigma > 0:
-            flags = self.mesh.edge_on_silhouette(pts)
-            visible = self.mesh.adjacencies.face_visible(pts)
-            edgeflags_np = np.asarray(flags & visible[:, None])
-            cap = min(3 * self.mesh.nb_faces, _next_pow2_bucket(int(edgeflags_np.sum())))
-        tiling = None
-        if self.mesh.nb_faces > 256:
-            from deodr_tpu.ops.render import default_impl
-            from deodr_tpu.ops.tiled import suggest_tiling
+        """Eager per-step render plan: (aa edge capacity, tiling config).
 
-            tiling = suggest_tiling(
-                pts_np, self.mesh.faces, camera.height, camera.width,
-                sigma=self.sigma, edgeflags=edgeflags_np,
-                for_pallas=(default_impl() == "pallas"),
+        One jitted device call returning a flat scalar vector + one sync —
+        every host↔device roundtrip costs ~57 ms on a tunneled TPU, so the
+        eager silhouette/occupancy ops this used to run dominated each
+        fitting step."""
+        from deodr_tpu.ops.render import default_impl
+        from deodr_tpu.ops.tiled import TilingConfig, _edge_band_tile_mask
+
+        mesh = self.mesh
+        sigma = self.sigma
+        height, width = camera.height, camera.width
+        want_tiling = mesh.nb_faces > 256
+        for_pallas = default_impl() == "pallas"
+        tile_w = 128 if for_pallas else 64
+        tile_h_candidates = (8, 16, 32, 64)
+
+        def make_plan_fn():
+            def occupancy(x_lo, x_hi, y_lo, y_hi, n_ty, n_tx, th, tw):
+                ty0 = jnp.clip(y_lo // th, 0, n_ty - 1).astype(jnp.int32)
+                ty1 = jnp.clip(y_hi // th, 0, n_ty - 1).astype(jnp.int32)
+                tx0 = jnp.clip(x_lo // tw, 0, n_tx - 1).astype(jnp.int32)
+                tx1 = jnp.clip(x_hi // tw, 0, n_tx - 1).astype(jnp.int32)
+                delta = jnp.zeros((n_ty + 1, n_tx + 1))
+                delta = delta.at[ty0, tx0].add(1.0)
+                delta = delta.at[ty1 + 1, tx0].add(-1.0)
+                delta = delta.at[ty0, tx1 + 1].add(-1.0)
+                delta = delta.at[ty1 + 1, tx1 + 1].add(1.0)
+                return jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx].max()
+
+            def f(vertices_j):
+                pts, _ = camera.project_points(jax.lax.stop_gradient(vertices_j))
+                faces = jnp.asarray(mesh.faces)
+                stats = []
+                if sigma > 0:
+                    flags = mesh.edge_on_silhouette(pts)
+                    visible = mesh.adjacencies.face_visible(pts)
+                    flat = (flags & visible[:, None]).reshape(-1)
+                    stats.append(flat.sum())
+                else:
+                    flat = None
+                    stats.append(jnp.zeros(()))
+                if want_tiling:
+                    tri = pts[faces]
+                    x_lo = jnp.clip(jnp.floor(tri[:, :, 0].min(axis=1)), 0, width - 1)
+                    x_hi = jnp.clip(jnp.floor(tri[:, :, 0].max(axis=1)), 0, width - 1)
+                    y_lo = jnp.clip(jnp.floor(tri[:, :, 1].min(axis=1)), 0, height - 1)
+                    y_hi = jnp.clip(jnp.floor(tri[:, :, 1].max(axis=1)), 0, height - 1)
+                    stats.append(jnp.median(tri[:, :, 1].max(axis=1) - tri[:, :, 1].min(axis=1)))
+                    if sigma > 0:
+                        i0 = faces[:, [1, 2, 0]].reshape(-1)
+                        i1 = faces[:, [0, 1, 2]].reshape(-1)
+                        p0 = pts[i0] * flat[:, None]
+                        p1 = pts[i1] * flat[:, None]
+                    for th in tile_h_candidates:
+                        n_ty = -(-height // th)
+                        n_tx = -(-width // tile_w)
+                        stats.append(occupancy(x_lo, x_hi, y_lo, y_hi, n_ty, n_tx, th, tile_w))
+                        if sigma > 0:
+                            m = _edge_band_tile_mask(
+                                p0.astype(jnp.float32), p1.astype(jnp.float32), float(sigma),
+                                flat, n_ty, n_tx, th, tile_w, height, width,
+                            )
+                            stats.append(m.sum(axis=1).max())
+                        else:
+                            stats.append(jnp.zeros(()))
+                return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
+
+            return jax.jit(f)
+
+        key = ("plan", camera.extrinsic.tobytes(), camera.intrinsic.tobytes(),
+               b"" if camera.distortion is None else np.asarray(camera.distortion).tobytes(),
+               height, width, want_tiling, for_pallas)
+        plan_fn = self._jit_cache.get(key)
+        if plan_fn is None:
+            plan_fn = make_plan_fn()
+            self._jit_cache[key] = plan_fn
+        stats = np.asarray(plan_fn(jnp.asarray(vertices)))  # the ONE sync
+
+        cap = None
+        need_count = 0
+        if sigma > 0:
+            need_count = int(stats[0])
+            cap = min(3 * mesh.nb_faces, _next_pow2_bucket(need_count))
+        tiling = None
+        tri_cap = edge_cap = 0
+        if want_tiling:
+            med_h = float(stats[1])
+            if med_h <= 12:
+                tile_h = 8
+            elif med_h <= 32:
+                tile_h = 16 if for_pallas else 32
+            else:
+                tile_h = 64
+            tile_h = min(tile_h, max(8, height))
+            k = tile_h_candidates.index(tile_h)
+            tri_cap = int(stats[2 + 2 * k])
+            edge_cap = int(stats[3 + 2 * k]) if sigma > 0 else 8
+
+            def bucket(n, margin=1.5):
+                import math
+
+                n = max(1, int(math.ceil(n * margin)))
+                return max(8, int(2 ** math.ceil(math.log2(n))))
+
+            tiling = TilingConfig(
+                tile_h=tile_h,
+                tile_w=tile_w,
+                triangle_capacity=bucket(tri_cap),
+                edge_capacity=bucket(edge_cap),
+                edge_split=1,
+                edge_segment_length=48.0,
             )
+
+        # plan hysteresis: geometry evolving across fitting iterations makes
+        # the bucketed capacities flip between adjacent powers of two, and
+        # every change recompiles the step — keep the previous plan while it
+        # still FITS the fresh requirements and is not >4x overprovisioned
+        last = self._jit_cache.get(("last_plan",) + key[1:])
+        if last is not None:
+            last_cap, last_tiling = last
+            if cap is not None and last_cap is not None and need_count <= last_cap <= 4 * max(cap, 8):
+                cap = last_cap
+            if (
+                tiling is not None
+                and last_tiling is not None
+                and last_tiling.tile_h == tiling.tile_h
+                and last_tiling.tile_w == tiling.tile_w
+                and tri_cap <= last_tiling.triangle_capacity <= 4 * tiling.triangle_capacity
+                and edge_cap <= last_tiling.edge_capacity <= 4 * tiling.edge_capacity
+            ):
+                tiling = last_tiling
+        self._jit_cache[("last_plan",) + key[1:]] = (cap, tiling)
         return cap, tiling
 
     def cached(self, key, make):
@@ -198,11 +311,16 @@ class MeshDepthFitter:
             diff_image = jnp.sum((depth_clipped - obs[:, :, None]) ** 2, axis=2)
             return jnp.sum(diff_image), (depth_clipped, diff_image)
 
+        rigid = self.rigid_energy
+
         def energy_and_grads(vertices, quaternion, translation):
             (e, aux), grads = jax.value_and_grad(energy, argnums=(0, 1, 2), has_aux=True)(
                 vertices, quaternion, translation
             )
-            return e, aux, grads
+            # rigid energy inside the same jit: running it eagerly costs
+            # several device (tunnel) roundtrips per fitting step
+            e_rigid, grad_rigidity, _ = rigid.evaluate(vertices)
+            return e, aux, grads, e_rigid, grad_rigidity
 
         return energy_and_grads
 
@@ -211,18 +329,19 @@ class MeshDepthFitter:
         vt = self._transformed_vertices()
         cap, tiling = self.core.plan(self.camera, vt)
         fn = self.core.cached(("depth", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling))
-        energy_data, (depth, diff_image), grads = fn(
+        out = fn(
             jnp.asarray(self.vertices), jnp.asarray(self.transform_quaternion), jnp.asarray(self.transform_translation)
         )
-        vertices_b, quaternion_b, translation_b = [np.asarray(g) for g in grads]
+        # ONE batched host fetch for the whole step
+        energy_data, (depth, diff_image), grads, e_rigid, grad_rigidity = jax.device_get(out)
+        vertices_b, quaternion_b, translation_b = grads
         energy_data = float(energy_data)
 
         vertices_b = vertices_b - np.mean(vertices_b, axis=0)[None, :]
-        e_rigid, grad_rigidity, _ = self.rigid_energy.evaluate(jnp.asarray(self.vertices))
         energy = energy_data + float(e_rigid)
         print("Energy=%f : EData=%f E_rigid=%f" % (energy, energy_data, float(e_rigid)))
 
-        grad = vertices_b + np.asarray(grad_rigidity)
+        grad = vertices_b + grad_rigidity
 
         inertia = self.inertia
         step_vertices = mult_and_clamp(-grad, self.step_factor_vertices, self.step_max_vertices)
@@ -237,7 +356,7 @@ class MeshDepthFitter:
         self.transform_translation = self.transform_translation + self.speed_translation
 
         self.iter += 1
-        return energy, np.asarray(depth)[:, :, 0], np.asarray(diff_image)
+        return energy, depth[:, :, 0], diff_image
 
 
 class MeshRGBFitterWithPose:
@@ -371,9 +490,14 @@ class MeshRGBFitterWithPose:
             diff_image = jnp.sum((image - obs) ** 2, axis=2)
             return jnp.sum(diff_image), (image, diff_image)
 
+        rigid = self.rigid_energy
+
         def energy_and_grads(*params):
             (e, aux), grads = jax.value_and_grad(energy, argnums=tuple(range(6)), has_aux=True)(*params)
-            return e, aux, grads
+            # rigid energy inside the same jit: running it eagerly costs
+            # several device (tunnel) roundtrips per fitting step
+            e_rigid, grad_rigidity, _ = rigid.evaluate(params[0])
+            return e, aux, grads, e_rigid, grad_rigidity
 
         return energy_and_grads
 
@@ -383,7 +507,7 @@ class MeshRGBFitterWithPose:
         vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(self.transform_translation)
         cap, tiling = self.core.plan(self.camera, vt)
         fn = self.core.cached(("rgb", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling))
-        energy_data, (image, diff_image), grads = fn(
+        out = fn(
             jnp.asarray(self.vertices),
             jnp.asarray(self.transform_quaternion),
             jnp.asarray(self.transform_translation),
@@ -391,17 +515,16 @@ class MeshRGBFitterWithPose:
             jnp.asarray(self.light_directional),
             jnp.asarray(float(self.light_ambient)),
         )
-        vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = [
-            np.asarray(g) for g in grads
-        ]
+        # ONE batched host fetch for the whole step
+        energy_data, (image, diff_image), grads, e_rigid, grad_rigidity = jax.device_get(out)
+        vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = grads
         energy_data = float(energy_data)
 
-        e_rigid, grad_rigidity, _ = self.rigid_energy.evaluate(jnp.asarray(self.vertices))
         energy = energy_data + float(e_rigid)
         print("Energy=%f : EData=%f E_rigid=%f" % (energy, energy_data, float(e_rigid)))
 
         vertices_b = vertices_b - np.mean(vertices_b, axis=0)[None, :]
-        grad = vertices_b + np.asarray(grad_rigidity)
+        grad = vertices_b + grad_rigidity
 
         inertia = self.inertia
         step_vertices = mult_and_clamp(-grad, self.step_factor_vertices, self.step_max_vertices)
@@ -426,7 +549,7 @@ class MeshRGBFitterWithPose:
         self.mesh_color = self.mesh_color + self.speed_mesh_color
 
         self.iter += 1
-        return energy, np.asarray(image), np.asarray(diff_image)
+        return energy, image, diff_image
 
 
 class MeshRGBFitterWithPoseMultiFrame:
@@ -589,7 +712,7 @@ class MeshRGBFitterWithPoseMultiFrame:
             vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(t)
             cap, tiling = self.core.plan(self.camera, vt)
             fn = self.core.cached(("multi", idframe, cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling, idframe))
-            e, (image, diff_image), grads = fn(
+            out = fn(
                 jnp.asarray(self.vertices),
                 jnp.asarray(q),
                 jnp.asarray(t),
@@ -597,17 +720,18 @@ class MeshRGBFitterWithPoseMultiFrame:
                 jnp.asarray(self.light_directional),
                 jnp.asarray(float(self.light_ambient)),
             )
-            vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = [
-                np.asarray(g) for g in grads
-            ]
+            # one batched host fetch per frame (each separate fetch pays a
+            # full device roundtrip)
+            e, (image, diff_image), grads = jax.device_get(out)
+            vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = grads
             self._vertices_b += vertices_b
             self.transform_quaternion_b[idframe] += quaternion_b
             self.transform_translation_b[idframe] += translation_b
             self.mesh_color_b += mesh_color_b
             self.light_directional_b += light_directional_b
             self.light_ambient_b += float(light_ambient_b)
-            images.append(np.asarray(image))
-            diff_images.append(np.asarray(diff_image))
+            images.append(image)
+            diff_images.append(diff_image)
             energy_datas.append(float(e))
         return float(np.sum(energy_datas)), images, diff_images
 

@@ -156,6 +156,63 @@ def bilinear_sample_window(tex_win: jnp.ndarray, p: jnp.ndarray, origin, full_hw
     return ((1 - w_eu) * t00 + w_eu * t10) * (1 - w_ev) + ((1 - w_eu) * t01 + w_eu * t11) * w_ev
 
 
+def safe_barycentric_matrices(v_xy: jnp.ndarray):
+    """Numerically-stable :func:`barycentric_matrices` that cannot produce
+    inf/NaN. Returns ``(inv, valid)``.
+
+    Two failure modes of the cofactor form in fp32, both observed to poison
+    whole fitting runs with NaN:
+
+    - the cofactor determinant of [[x],[y],[1]] subtracts O(coord²) products
+      that cancel to O(area); for a sliver triangle the true area can sit
+      far below the rounding noise (coords ~250 → noise ~7e-3 in fp32), so
+      the computed det rounds to exactly 0 and the inverse is inf — which
+      NaNs the *forward* z/attribute rows (inf·a − inf·b). Computing from
+      edge **differences** (b1 = (e2y·(x−x0) − e2x·(y−y0))/det with
+      det = e1×e2) keeps every operand at O(edge length), eliminating the
+      large-coordinate cancellation.
+    - a singular/near-singular inverse, even when every use is masked,
+      poisons reverse-mode (the division's VJP multiplies the zero cotangent
+      by 1/det² = inf; 0·inf = NaN). Degenerate triangles are substituted
+      by a canonical unit triangle BEFORE any division; ``valid`` is false
+      where the area is non-finite or below the fp cancellation noise of
+      the cross product (such triangles cover no pixels — callers must
+      exclude them from coverage, as the z-buffer setup does).
+    """
+    use_cofactor = jnp.finfo(v_xy.dtype).bits >= 64
+    e1 = v_xy[..., 1, :] - v_xy[..., 0, :]
+    e2 = v_xy[..., 2, :] - v_xy[..., 0, :]
+    det = e1[..., 0] * e2[..., 1] - e2[..., 0] * e1[..., 1]
+    eps = jnp.finfo(v_xy.dtype).eps
+    noise = 100.0 * eps * jnp.sqrt(jnp.sum(e1 * e1, axis=-1) * jnp.sum(e2 * e2, axis=-1))
+    if use_cofactor:
+        # the cofactor det subtracts O(coord²) products, so its noise floor
+        # scales with the coordinates, not the edge lengths
+        noise = jnp.maximum(noise, 100.0 * eps * jnp.max(jnp.sum(v_xy * v_xy, axis=-1), axis=-1))
+    valid = jax.lax.stop_gradient(
+        jnp.isfinite(det)
+        & (jnp.abs(det) > noise)
+        & jnp.all(jnp.isfinite(v_xy), axis=(-2, -1))
+    )
+    canon = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], v_xy.dtype)
+    safe = jnp.where(valid[..., None, None], v_xy, canon)
+    if use_cofactor:
+        # f64's cancellation noise (~1e-11 at image coordinates) sits far
+        # below any sliver that rasterizes; keep the cofactor form so f64
+        # results (and the golden fitting trajectories, which heavy-ball
+        # amplification makes ulp-sensitive) match the reference exactly
+        return barycentric_matrices(safe), valid
+    x0, y0 = safe[..., 0, 0], safe[..., 0, 1]
+    e1 = safe[..., 1, :] - safe[..., 0, :]
+    e2 = safe[..., 2, :] - safe[..., 0, :]
+    det = e1[..., 0] * e2[..., 1] - e2[..., 0] * e1[..., 1]
+    row1 = jnp.stack([e2[..., 1], -e2[..., 0], e2[..., 0] * y0 - e2[..., 1] * x0], axis=-1) / det[..., None]
+    row2 = jnp.stack([-e1[..., 1], e1[..., 0], e1[..., 1] * x0 - e1[..., 0] * y0], axis=-1) / det[..., None]
+    one = jnp.zeros_like(row1).at[..., 2].set(1.0)
+    row0 = one - row1 - row2
+    return jnp.stack([row0, row1, row2], axis=-2), valid
+
+
 def bilinear_sample_window_mxu(tex_win: jnp.ndarray, p: jnp.ndarray, origin, full_hw) -> jnp.ndarray:
     """:func:`bilinear_sample_window` expressed as soft-one-hot matmuls.
 

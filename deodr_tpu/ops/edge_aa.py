@@ -84,6 +84,21 @@ def _edge_stencil(cfg: EdgeAAConfig, v0, v1, dtype, oy=None, ox=None, win=None):
     restricted to that window.
     """
     height, width = cfg.height, cfg.width
+    # degenerate (zero-length / non-finite) edges would make the stencil
+    # matrix singular; an inf/NaN primal poisons even fully-masked uses in
+    # reverse-mode (0·inf in the inverse's VJP), so substitute a harmless
+    # dummy edge and report invalidity (callers mask the band out)
+    len2 = (v1[0] - v0[0]) ** 2 + (v1[1] - v0[1]) ** 2
+    # the stencil det is ±|edge| via cofactors of O(coord) products, whose
+    # fp cancellation noise is O(coord·eps): edges shorter than that can
+    # yield det == 0 exactly (inf inverse) — treat them as degenerate
+    eps = jnp.finfo(dtype).eps
+    scale2 = jnp.maximum(1.0, v0[0] ** 2 + v0[1] ** 2 + v1[0] ** 2 + v1[1] ** 2)
+    edge_ok = jax.lax.stop_gradient(
+        jnp.isfinite(len2) & (len2 > (100.0 * eps) ** 2 * scale2) & jnp.isfinite(v0[0] + v0[1])
+    )
+    v0 = jnp.where(edge_ok, v0, jnp.asarray([0.0, 0.0], dtype))
+    v1 = jnp.where(edge_ok, v1, jnp.asarray([1.0, 0.0], dtype))
     if cfg.clockwise:
         n = jnp.stack([v0[1] - v1[1], v1[0] - v0[0]])
     else:
@@ -135,7 +150,7 @@ def _edge_stencil(cfg: EdgeAAConfig, v0, v1, dtype, oy=None, ox=None, win=None):
 
     row_ok = (yy >= y_lo) & (yy <= y_hi)
     cov = row_ok[:, None] & (xx[None, :] >= x_begin[:, None]) & (xx[None, :] <= x_end[:, None])
-    return cov, bary_coef, t_coef
+    return cov & edge_ok, bary_coef, t_coef
 
 
 def _edge_fragment(

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from deodr_tpu.ops.common import (
     barycentric_matrices,
+    safe_barycentric_matrices,
     bilinear_sample,
     ceil_div,
     edge_equations,
@@ -107,11 +108,15 @@ def triangle_row_setup(
     x_lo = jnp.maximum(x_lo, 0.0)
     x_hi = jnp.minimum(x_hi, float(width - 1))
 
-    xy1_to_bary = barycentric_matrices(v_xy)  # (T, 3, 3)
-    z_src = 1.0 / v_z if perspective_correct else v_z
+    xy1_to_bary, bary_valid = safe_barycentric_matrices(v_xy)  # (T, 3, 3), (T,)
+    if perspective_correct:
+        z_src = 1.0 / jnp.where(v_z == 0, 1.0, v_z)
+        bary_valid = bary_valid & jnp.all(v_z != 0, axis=1)
+    else:
+        z_src = v_z
     z_coef = jnp.einsum("tk,tkj->tj", z_src, xy1_to_bary, precision=jax.lax.Precision.HIGHEST)
 
-    finite = jnp.all(jnp.isfinite(xy1_to_bary), axis=(1, 2)) & jnp.all(jnp.isfinite(z_coef), axis=1)
+    finite = bary_valid & jnp.all(jnp.isfinite(z_coef), axis=1)
     return TriangleRowSetup(y_lo, y_hi, left_eq, right_eq, x_lo, x_hi, z_coef, draw & finite)
 
 
@@ -254,7 +259,9 @@ def shade_pixels(
         axis=-1,
     )  # (H, W, 3)
 
-    xy1_to_bary = barycentric_matrices(v_xy)  # (H, W, 3, 3)
+    # safe inverse: uncovered pixels gather triangle 0 (winner clamped to 0),
+    # which may be degenerate — its singular inverse would NaN the backward
+    xy1_to_bary, _ = safe_barycentric_matrices(v_xy)  # (H, W, 3, 3)
     bary = jnp.einsum("hwkj,hwj->hwk", xy1_to_bary, p, precision=jax.lax.Precision.HIGHEST)
 
     colors_px = interpolate_at_pixels(bary, colors[f], v_z, perspective_correct)  # (H, W, C)

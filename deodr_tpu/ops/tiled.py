@@ -372,7 +372,7 @@ def rasterize_tiled(
     colors/uv/shade through the corner attributes; visibility (slots) is
     frozen. Returns (image, z_buffer, max_bin_count).
     """
-    from deodr_tpu.ops.common import barycentric_matrices, bilinear_sample
+    from deodr_tpu.ops.common import bilinear_sample, safe_barycentric_matrices
 
     height, width = scene.height, scene.width
     th, tw = tiling.tile_h, tiling.tile_w
@@ -396,7 +396,8 @@ def rasterize_tiled(
     cap = slots.shape[1]
 
     # ---- differentiable per-triangle affine attribute maps ----
-    xy1_to_bary = barycentric_matrices(v_xy)  # (T, 3, 3)
+    xy1_to_bary, _ = safe_barycentric_matrices(v_xy)  # (T, 3, 3); coverage
+    # comes from the stop-gradded setup, which excludes degenerate triangles
     corner_list = [scene.colors[scene.faces]]  # (T, 3, C)
     if has_texture:
         corner_list.append(scene.uv[scene.faces_uv])  # (T, 3, 2)
@@ -540,12 +541,12 @@ def _affine_attribute_maps(scene, v_xy, v_z):
     """Differentiable per-triangle affine attribute maps (T, D, 3) with the
     attribute order [colors (C), uv (2), shade (1) if textured][, 1/z if
     perspective][, textured-flag]; see rasterize_tiled."""
-    from deodr_tpu.ops.common import barycentric_matrices
+    from deodr_tpu.ops.common import safe_barycentric_matrices
 
     dtype = v_xy.dtype
     persp = scene.perspective_correct
     has_texture = scene.texture is not None
-    xy1_to_bary = barycentric_matrices(v_xy)
+    xy1_to_bary, _ = safe_barycentric_matrices(v_xy)
     corner_list = [scene.colors[scene.faces]]
     if has_texture:
         corner_list.append(scene.uv[scene.faces_uv])
@@ -815,7 +816,12 @@ def edge_pass_tiled_pallas(
     # singular; NaN primals would poison the zero cotangents flowing back
     # through the matrix-inverse VJP, so substitute a harmless dummy edge
     v0 = edges.v0
-    degenerate = jnp.sum((edges.v1 - v0) ** 2, axis=1) < 1e-20
+    # cancellation-aware threshold: the stencil det is ±|edge| computed via
+    # O(coord) cofactor products, so edges shorter than the fp noise floor
+    # (O(coord·eps)) can produce det == 0 exactly → inf inverse
+    eps_d = jnp.finfo(edges.v0.dtype).eps
+    scale2 = jnp.maximum(1.0, jnp.sum(v0**2 + edges.v1**2, axis=1))
+    degenerate = ~(jnp.sum((edges.v1 - v0) ** 2, axis=1) > (100.0 * eps_d) ** 2 * scale2)
     v1 = jnp.where(degenerate[:, None], v0 + jnp.asarray([1.0, 0.0], edges.v1.dtype), edges.v1)
     if cfg.clockwise:
         n = jnp.stack([v0[:, 1] - v1[:, 1], v1[:, 0] - v0[:, 0]], axis=1)
