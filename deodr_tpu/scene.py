@@ -551,6 +551,42 @@ class Scene3D:
                 edge_split=1,
                 edge_segment_length=48.0,
             )
+
+        # plan hysteresis: keep the previous plan while it still FITS the
+        # fresh requirements and is not >4x overprovisioned — evolving
+        # geometry otherwise flips bucketed sizes between adjacent powers
+        # of two, recompiling the render on every flip
+        last = cache.get(("last_plan",) + plan_key)
+        if last is not None:
+            l_cap, l_tiling, l_win, l_texwin = last
+            if cap is not None and l_cap is not None and sigma > 0 and int(stats[0]) <= l_cap <= 4 * max(cap, 8):
+                cap = l_cap
+            if (
+                tiling is not None
+                and l_tiling is not None
+                and l_tiling.tile_h == tiling.tile_h
+                and l_tiling.tile_w == tiling.tile_w
+                and tri_cap <= l_tiling.triangle_capacity <= 4 * tiling.triangle_capacity
+                and edge_cap <= l_tiling.edge_capacity <= 4 * tiling.edge_capacity
+            ):
+                tiling = l_tiling
+            if (
+                aa_window is not None
+                and l_win is not None
+                and aa_window[0] <= l_win[0] <= 4 * aa_window[0]
+                and aa_window[1] <= l_win[1] <= 4 * aa_window[1]
+                and l_win[0] <= height
+                and l_win[1] <= width
+            ):
+                aa_window = l_win
+            if (
+                aa_tex_window is not None
+                and l_texwin is not None
+                and aa_tex_window[0] <= l_texwin[0] <= 4 * aa_tex_window[0]
+                and aa_tex_window[1] <= l_texwin[1] <= 4 * aa_tex_window[1]
+            ):
+                aa_tex_window = l_texwin
+        cache[("last_plan",) + plan_key] = (cap, tiling, aa_window, aa_tex_window)
         return cap, tiling, aa_window, aa_tex_window
 
     def _camera_key(self, camera: Camera):
