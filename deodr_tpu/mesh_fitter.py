@@ -641,16 +641,18 @@ class MeshRGBFitterWithPoseMultiFrame:
         )
         self.iter = 0
 
-    def _make_energy(self, cap, tiling, idframe):
+    def _make_energy(self, cap, tiling):
         mesh = self.mesh
         camera = self.camera
         sigma = self.core.sigma
-        obs = jnp.asarray(self.mesh_images[idframe])
         background_color = jnp.asarray(self.background_color)
         adj = mesh.adjacencies
         coef_data = self.cdata / self.nb_frames
 
-        def energy(vertices, quaternion, translation, mesh_color, light_directional, light_ambient):
+        # obs is an ARGUMENT (not a closure constant) so one compiled step
+        # function serves every frame — frames share the camera, and a
+        # per-frame closure would recompile the step per frame
+        def energy(vertices, quaternion, translation, mesh_color, light_directional, light_ambient, obs):
             q_n = normalize(quaternion)
             vt = qrot(q_n, vertices) + translation
             points_2d, depths = camera.project_points(vt)
@@ -711,7 +713,7 @@ class MeshRGBFitterWithPoseMultiFrame:
             q_n = normalize(jnp.asarray(q))
             vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(t)
             cap, tiling = self.core.plan(self.camera, vt)
-            fn = self.core.cached(("multi", idframe, cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling, idframe))
+            fn = self.core.cached(("multi", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling))
             out = fn(
                 jnp.asarray(self.vertices),
                 jnp.asarray(q),
@@ -719,6 +721,7 @@ class MeshRGBFitterWithPoseMultiFrame:
                 jnp.asarray(self.mesh_color),
                 jnp.asarray(self.light_directional),
                 jnp.asarray(float(self.light_ambient)),
+                jnp.asarray(self.mesh_images[idframe]),
             )
             # one batched host fetch per frame (each separate fetch pays a
             # full device roundtrip)
