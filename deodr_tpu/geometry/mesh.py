@@ -136,6 +136,25 @@ class ColoredTriMesh(TriMesh):
 
         return loop_subdivision(self, n_iter)
 
+    def plot_uv_map(self, ax) -> None:
+        """Draw the texture with the UV triangulation overlaid
+        (reference: deodr/triangulated_mesh.py:343-347)."""
+        assert self.uv is not None, "You need to provide a uv to display the uv map"
+        uv_np = np.asarray(self.uv)
+        if self.texture is not None:
+            ax.imshow(np.asarray(self.texture))
+        ax.triplot(uv_np[:, 0], uv_np[:, 1], self.faces_uv)
+
+    def plot(self, ax) -> None:
+        """3D trisurf plot with vertex normals as quivers
+        (reference: deodr/triangulated_mesh.py:349-359); ``ax`` must be a
+        matplotlib 3D axis."""
+        v = np.asarray(self.vertices)
+        x, y, z = v.T
+        u, w, n = np.asarray(self.vertex_normals).T
+        ax.plot_trisurf(v[:, 0], v[:, 1], Z=v[:, 2], triangles=self.faces)
+        ax.quiver(x, y, z, u, w, n, length=0.03, normalize=True, color=[0, 1, 0])
+
     @staticmethod
     def from_trimesh(mesh, compute_adjacencies: bool = True) -> "ColoredTriMesh":
         """Convert a trimesh.Trimesh, re-merging UV-split vertices so the 3D

@@ -249,7 +249,16 @@ class Scene3D:
     """A 3D scene: one mesh, one directional + one ambient light
     (reference: deodr/differentiable_renderer.py:737-1174)."""
 
-    def __init__(self, sigma: float = 1, perspective_correct: bool = False, integer_pixel_centers: bool = True):
+    def __init__(
+        self,
+        sigma: float = 1,
+        perspective_correct: bool = False,
+        integer_pixel_centers: bool = True,
+        impl: Optional[str] = None,
+    ):
+        # impl: None/"auto" = backend default ("pallas" on TPU, "xla"
+        # elsewhere), or force "pallas" / "xla" / "brute" (untiled)
+        self.impl = impl
         self.mesh: Optional[ColoredTriMesh] = None
         self.light_directional: Optional[np.ndarray] = None
         self.light_ambient: float = 0
@@ -404,8 +413,9 @@ class Scene3D:
 
         height, width = camera.height, camera.width
         sigma = float(self.sigma)
-        want_tiling = mesh.nb_faces > 256
-        for_pallas = default_impl() == "pallas"
+        impl_pref = self.impl if self.impl not in (None, "auto") else default_impl()
+        want_tiling = mesh.nb_faces > 256 and impl_pref != "brute"
+        for_pallas = impl_pref == "pallas"
         tile_w = 128 if for_pallas else 64
         tile_h_candidates = (8, 16, 32, 64)
         offset = 0.0 if self.integer_pixel_centers else 0.5
@@ -617,6 +627,7 @@ class Scene3D:
         cap, tiling, aa_window, aa_tex_window = self._eager_plan(camera)
         inputs = self._diff_inputs(depth_only_scale is not None)
         key = (
+            self.impl,
             self._camera_key(camera),
             id(self.mesh),
             self.mesh.nb_vertices,
@@ -639,8 +650,9 @@ class Scene3D:
                     camera, vertices, colors, light_dir, light_amb, uv, texture,
                     backface_culling, depth_only_scale,
                 )
+                impl_arg = None if self.impl in (None, "auto", "brute") else self.impl
                 image, z_buffer, _ = render_scene(
-                    buffers, float(self.sigma), aa_edge_capacity=cap, tiling=tiling, impl=None,
+                    buffers, float(self.sigma), aa_edge_capacity=cap, tiling=tiling, impl=impl_arg,
                     aa_window=aa_window, aa_tex_window=aa_tex_window,
                 )
                 return image, z_buffer
