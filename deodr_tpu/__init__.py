@@ -31,7 +31,12 @@ from deodr_tpu.geometry.energy import LaplacianRigidEnergy
 from deodr_tpu.geometry.mesh import ColoredTriMesh, TriMesh, TriMeshAdjacencies
 from deodr_tpu.geometry.subdivision import loop_subdivision
 from deodr_tpu.io.obj import read_obj, save_obj
-from deodr_tpu.mesh_fitter import MeshDepthFitter, MeshRGBFitterWithPose, MeshRGBFitterWithPoseMultiFrame
+from deodr_tpu.mesh_fitter import (
+    MeshDepthFitter,
+    MeshDepthFitterEnergy,
+    MeshRGBFitterWithPose,
+    MeshRGBFitterWithPoseMultiFrame,
+)
 from deodr_tpu.scene import Scene2D, Scene3D
 
 data_path = _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..", "data"))
@@ -50,6 +55,7 @@ __all__ = [
     "read_obj",
     "save_obj",
     "MeshDepthFitter",
+    "MeshDepthFitterEnergy",
     "MeshRGBFitterWithPose",
     "MeshRGBFitterWithPoseMultiFrame",
     "Scene2D",

@@ -189,6 +189,15 @@ class _FitterRenderCore:
             self._jit_cache[key] = fn
         return fn
 
+    def cached_raw(self, key, make):
+        """Like ``cached`` but stores ``make()`` verbatim (for values that
+        are not a single jittable callable, e.g. (optimizer, step_fn))."""
+        value = self._jit_cache.get(key)
+        if value is None:
+            value = make()
+            self._jit_cache[key] = value
+        return value
+
 
 class MeshDepthFitter:
     """Fit a deformable mesh to a depth image
@@ -265,7 +274,7 @@ class MeshDepthFitter:
         q_n = normalize(jnp.asarray(self.transform_quaternion))
         return qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(self.transform_translation)
 
-    def _make_energy(self, cap, tiling):
+    def _make_data_energy(self, cap, tiling):
         mesh = self.mesh
         camera = self.camera
         sigma = self.core.sigma
@@ -311,6 +320,10 @@ class MeshDepthFitter:
             diff_image = jnp.sum((depth_clipped - obs[:, :, None]) ** 2, axis=2)
             return jnp.sum(diff_image), (depth_clipped, diff_image)
 
+        return energy
+
+    def _make_energy(self, cap, tiling):
+        energy = self._make_data_energy(cap, tiling)
         rigid = self.rigid_energy
 
         def energy_and_grads(vertices, quaternion, translation):
@@ -357,6 +370,92 @@ class MeshDepthFitter:
 
         self.iter += 1
         return energy, depth[:, :, 0], diff_image
+
+
+class MeshDepthFitterEnergy(MeshDepthFitter):
+    """Depth fitting as a single energy module optimized with L-BFGS.
+
+    Capability-equivalent to the reference's ``MeshDepthFitterEnergy``
+    (reference: deodr/pytorch/mesh_fitter_pytorch.py:34-170 — a
+    torch.nn.Module whose ``forward`` is the total energy, driven by
+    torch.optim.LBFGS). Here the total energy is one pure jitted function of
+    the parameter pytree and ``optax.lbfgs`` (zoom linesearch included)
+    drives it — the entire L-BFGS step, linesearch evaluations included, is
+    one compiled XLA computation.
+    """
+
+    def __init__(self, vertices, faces, euler_init, translation_init, cregu: float = 2000, memory_size: int = 10):
+        super().__init__(vertices, faces, euler_init, translation_init, cregu=cregu)
+        self.memory_size = memory_size
+        self._opt = None
+        self._opt_state = None
+        self._params = None
+
+    def reset(self) -> None:
+        super().reset()
+        self._opt = None
+        self._opt_state = None
+        self._params = None
+
+    def _make_total_energy(self, cap, tiling):
+        rigid = self.rigid_energy
+        inner = self._make_data_energy(cap, tiling)
+
+        def total(params):
+            vertices = params["vertices"]
+            centered = vertices - jnp.mean(vertices, axis=0)[None, :]
+            e_data, _ = inner(centered, params["quaternion"], params["translation"])
+            e_rigid, _, _ = rigid.evaluate(vertices)
+            return e_data + e_rigid
+
+        return total
+
+    def step(self) -> float:
+        vt = self._transformed_vertices()
+        cap, tiling = self.core.plan(self.camera, vt)
+
+        if self._params is None:
+            self._params = {
+                "vertices": jnp.asarray(self.vertices),
+                "quaternion": jnp.asarray(self.transform_quaternion),
+                "translation": jnp.asarray(self.transform_translation),
+            }
+
+        def make():
+            import optax
+
+            total = self._make_total_energy(cap, tiling)
+            opt = optax.lbfgs(memory_size=self.memory_size)
+
+            @jax.jit
+            def lbfgs_step(params, state):
+                value, grad = optax.value_and_grad_from_state(total)(params, state=state)
+                updates, state = opt.update(grad, state, params, value=value, grad=grad, value_fn=total)
+                params = optax.apply_updates(params, updates)
+                return params, state, value
+
+            return opt, lbfgs_step
+
+        opt, lbfgs_step = self.core.cached_raw(
+            ("depth_lbfgs", cap, tiling, self.width, self.height, self.memory_size), make
+        )
+        if self._opt_state is None or self._opt is not opt:
+            self._opt = opt
+            self._opt_state = opt.init(self._params)
+
+        self._params, self._opt_state, value = lbfgs_step(self._params, self._opt_state)
+        energy = float(value)
+
+        # reflect optimized parameters back onto the plain-numpy state so
+        # plan() and external readers see the current geometry
+        params_np = jax.device_get(self._params)
+        self.vertices = params_np["vertices"]
+        self.transform_quaternion = params_np["quaternion"]
+        self.transform_translation = params_np["translation"]
+
+        self.iter += 1
+        print("Energy=%f" % energy)
+        return energy
 
 
 class MeshRGBFitterWithPose:

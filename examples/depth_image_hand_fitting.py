@@ -11,7 +11,7 @@ import numpy as np
 
 import deodr_tpu
 from deodr_tpu import ColoredTriMesh, read_obj
-from deodr_tpu.mesh_fitter import MeshDepthFitter
+from deodr_tpu.mesh_fitter import MeshDepthFitter, MeshDepthFitterEnergy
 
 
 def run(
@@ -20,6 +20,7 @@ def run(
     display: bool = False,
     max_iter: int = 300,
     n_subdivision: int = 0,
+    optimizer: str = "heavyball",
 ) -> List[float]:
     depth_image = np.fliplr(
         np.fromfile(os.path.join(deodr_tpu.data_path, "depth.bin"), dtype=np.float32)
@@ -38,7 +39,11 @@ def run(
     euler_init = np.array([0.1, 0.1, 0.1])
     translation_init = np.zeros(3)
 
-    hand_fitter = MeshDepthFitter(
+    # "heavyball" = the reference numpy fitter's update rule;
+    # "lbfgs" = the energy-module variant (reference: pytorch
+    # MeshDepthFitterEnergy + torch.optim.LBFGS), optax.lbfgs-driven
+    fitter_cls = {"heavyball": MeshDepthFitter, "lbfgs": MeshDepthFitterEnergy}[optimizer]
+    hand_fitter = fitter_cls(
         np.asarray(mesh.vertices), mesh.faces, euler_init, translation_init, cregu=1000
     )
     distortion = np.array([1, 0, 0, 0, 0])
@@ -49,8 +54,8 @@ def run(
     durations: List[float] = []
     start = time.time()
     for _ in range(max_iter):
-        energy, synthetic_depth, diff_image = hand_fitter.step()
-        energies.append(energy)
+        out = hand_fitter.step()
+        energies.append(out[0] if isinstance(out, tuple) else out)
         durations.append(time.time() - start)
     return energies
 

@@ -69,3 +69,12 @@ def test_laplacian_energy_gradient():
         vm[idx] -= eps
         fd = (float(energy.evaluate(jnp.asarray(vp))[0]) - float(energy.evaluate(jnp.asarray(vm))[0])) / (2 * eps)
         assert abs(fd - float(grad[idx])) < 1e-4 * max(1.0, abs(fd))
+
+
+def test_depth_fitter_lbfgs_energy_converges():
+    """MeshDepthFitterEnergy (optax.lbfgs) decreases the hand-depth energy
+    (reference capability: pytorch MeshDepthFitterEnergy + torch LBFGS)."""
+    from examples.depth_image_hand_fitting import run
+
+    energies = run(max_iter=8, optimizer="lbfgs")
+    assert energies[-1] < 0.6 * energies[0], energies
