@@ -15,6 +15,43 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def gather_rows_mm(x, idx):
+    """``x[idx]`` with a matmul adjoint.
+
+    The autodiff transpose of a gather is a scatter-add, which TPUs execute
+    at ~1 row/cycle plus a large fixed cost; for the tiled rasterizer's
+    table gathers (a few thousand rows into a few hundred) the equivalent
+    one-hot MXU contraction is several times faster. Forward is a plain
+    gather. HIGHEST precision keeps the f32 cotangents exact (default TPU
+    dot precision would round them to bf16).
+    """
+    return x[idx]
+
+
+def _gather_rows_mm_fwd(x, idx):
+    return x[idx], (idx, x.shape)
+
+
+def _gather_rows_mm_bwd(res, ct):
+    idx, x_shape = res
+    n_rows = x_shape[0]
+    idx_flat = idx.reshape(-1)
+    n = idx_flat.shape[0]
+    d = 1
+    for s in x_shape[1:]:
+        d *= int(s)
+    if n == 0 or d == 0:
+        return jnp.zeros(x_shape, ct.dtype), None
+    ct_flat = ct.reshape(n, d)
+    onehot = (idx_flat[:, None] == jnp.arange(n_rows, dtype=idx_flat.dtype)[None, :]).astype(ct_flat.dtype)
+    g = jnp.einsum("nr,nd->rd", onehot, ct_flat, precision=jax.lax.Precision.HIGHEST)
+    return g.reshape(x_shape), None
+
+
+gather_rows_mm.defvjp(_gather_rows_mm_fwd, _gather_rows_mm_bwd)
+
+
 def floor_div(num, den, lo, hi):
     """min(hi, max(lo, floor(num/den))) with the reference's den==0 semantics:
     returns hi when num <= 0 else lo (reference:

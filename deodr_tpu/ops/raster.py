@@ -71,37 +71,50 @@ def triangle_row_setup(
     local_cw = raw_cross > 0
     eq = edge_equations(v_xy, local_cw)  # (T, 3, 3)
 
-    ys_order = jnp.argsort(v_xy[:, :, 1], axis=1)
-    ys = jnp.take_along_axis(v_xy[:, :, 1], ys_order, axis=1)
-    xs = jnp.sort(v_xy[:, :, 0], axis=1)
+    # 3-element sort/argsort done arithmetically: TPU element gathers
+    # (take_along_axis/argsort) run ~1 element/cycle, while these min/max
+    # selects are plain vector ops. Tie semantics reproduce a stable argsort
+    # exactly: first index of the minimum, last index of the maximum.
+    y0, y1, y2 = v_xy[:, 0, 1], v_xy[:, 1, 1], v_xy[:, 2, 1]
+    x0, x1, x2 = v_xy[:, 0, 0], v_xy[:, 1, 0], v_xy[:, 2, 0]
+    id0 = jnp.where((y0 <= y1) & (y0 <= y2), 0, jnp.where(y1 <= y2, 1, 2)).astype(jnp.int32)
+    id2 = jnp.where((y2 >= y0) & (y2 >= y1), 2, jnp.where(y1 >= y0, 1, 0)).astype(jnp.int32)
+    ys0 = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ys2 = jnp.maximum(jnp.maximum(y0, y1), y2)
+    # exact median-of-3 (always one of the inputs, no arithmetic mixing)
+    ys1 = jnp.maximum(jnp.minimum(y0, y1), jnp.minimum(jnp.maximum(y0, y1), y2))
+    ys = jnp.stack([ys0, ys1, ys2], axis=1)
+    xs_lo = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xs_hi = jnp.maximum(jnp.maximum(x0, x1), x2)
+
+    def sel3(a, ids):
+        """a (T, 3[, ...]) element/row select by per-triangle index."""
+        c0 = (ids == 0).reshape(ids.shape + (1,) * (a.ndim - 2))
+        c1 = (ids == 1).reshape(ids.shape + (1,) * (a.ndim - 2))
+        return jnp.where(c0, a[:, 0], jnp.where(c1, a[:, 1], a[:, 2]))
 
     # upper part: edges adjacent to the topmost vertex; the one with a > 0 is
     # the left edge (reference: C++/DifferentiableRenderer.h:713-737)
-    id0 = ys_order[:, 0]
     id0p2 = (id0 + 2) % 3
-    a0 = jnp.take_along_axis(eq[:, :, 0], id0[:, None], axis=1)[:, 0]
+    a0 = sel3(eq[:, :, 0], id0)
     left0 = jnp.where(a0 > 0, id0, id0p2)
     right0 = jnp.where(a0 > 0, id0p2, id0)
-    id2 = ys_order[:, 2]
     id2p2 = (id2 + 2) % 3
-    a2 = jnp.take_along_axis(eq[:, :, 0], id2[:, None], axis=1)[:, 0]
+    a2 = sel3(eq[:, :, 0], id2)
     right1 = jnp.where(a2 < 0, id2, id2p2)
     left1 = jnp.where(a2 < 0, id2p2, id2)
 
-    def pick(ids):
-        return jnp.take_along_axis(eq, ids[:, None, None], axis=1)[:, 0, :]
-
-    left_eq = jnp.stack([pick(left0), pick(left1)], axis=1)
-    right_eq = jnp.stack([pick(right0), pick(right1)], axis=1)
+    left_eq = jnp.stack([sel3(eq, left0), sel3(eq, left1)], axis=1)
+    right_eq = jnp.stack([sel3(eq, right0), sel3(eq, right1)], axis=1)
 
     if strict_edge:
         y_lo = jnp.stack([jnp.floor(ys[:, 0]) + 1, jnp.floor(ys[:, 1]) + 1], axis=1)
-        x_lo = jnp.floor(xs[:, 0])
+        x_lo = jnp.floor(xs_lo)
     else:
         y_lo = jnp.stack([jnp.ceil(ys[:, 0]), jnp.ceil(ys[:, 1])], axis=1)
-        x_lo = jnp.ceil(xs[:, 0])
+        x_lo = jnp.ceil(xs_lo)
     y_hi = jnp.stack([jnp.floor(ys[:, 1]), jnp.floor(ys[:, 2])], axis=1)
-    x_hi = jnp.floor(xs[:, 2])
+    x_hi = jnp.floor(xs_hi)
 
     y_lo = jnp.maximum(y_lo, 0.0)
     y_hi = jnp.minimum(y_hi, float(height - 1))

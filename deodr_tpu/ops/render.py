@@ -16,6 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from deodr_tpu.ops.common import gather_rows_mm
 from deodr_tpu.ops.edge_aa import EdgeAAConfig, EdgeData, edge_overdraw_pass, edge_overdraw_pass_windowed
 from deodr_tpu.ops.raster import find_winners, shade_pixels
 
@@ -297,34 +298,47 @@ def _build_edge_data(
     active = scene.edgeflags[tri, slot] & (signed_area_v[tri] > 0)
     use_texture = scene.textured[tri] & scene.shaded[tri]
 
-    has_uv = scene.uv.shape[0] > 0
-    uvs = (
-        jnp.stack([scene.uv[iuv0], scene.uv[iuv1]], axis=1)
-        if has_uv
-        else jnp.zeros((3 * nt, 2, 2), ij_off.dtype)
-    )
-    edges = EdgeData(
-        v0=ij_off[i0],
-        v1=ij_off[i1],
-        z=jnp.stack([scene.depths[i0], scene.depths[i1]], axis=1),
-        attrs=jnp.stack([scene.colors[i0], scene.colors[i1]], axis=1),
-        uvs=uvs,
-        shades=jnp.stack([scene.shade[i0], scene.shade[i1]], axis=1),
-        active=active,
-        use_texture=use_texture,
-    )
     if aa_edge_capacity is not None and aa_edge_capacity < 3 * nt:
         # sort-free compaction: prefix-count ranks + one-hot contraction keep
-        # active edges in depth order while moving them to the front
+        # active edges in depth order while moving them to the front. Done on
+        # the (integer, non-differentiable) index level BEFORE any endpoint
+        # feature gathers, so the differentiable gathers below are both fewer
+        # and capacity-sized.
         activef = active.astype(jnp.float32)
         rank = (jnp.cumsum(activef) - activef).astype(jnp.int32)
         ks = jnp.arange(aa_edge_capacity, dtype=jnp.int32)
         onehot = ((rank[:, None] == ks[None, :]) & active[:, None]).astype(jnp.float32)
         perm = jnp.einsum("nk,n->k", onehot, jnp.arange(3 * nt, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
         got = jnp.sum(onehot, axis=0) > 0.5
-        edges = jax.tree.map(lambda a: a[perm], edges)
-        edges = edges._replace(active=edges.active & got)
-    return edges
+        i0, i1, iuv0, iuv1 = i0[perm], i1[perm], iuv0[perm], iuv1[perm]
+        active = active[perm] & got
+        use_texture = use_texture[perm]
+
+    # ONE feature-matrix gather per endpoint (positions+depth+colors+shade
+    # stacked as columns) with a matmul adjoint: the per-array gathers this
+    # replaces each paid a separate TPU scatter-add in the backward pass
+    c = scene.colors.shape[1]
+    feat = jnp.concatenate(
+        [ij_off, scene.depths[:, None], scene.colors, scene.shade[:, None]], axis=1
+    )
+    e0 = gather_rows_mm(feat, i0)
+    e1 = gather_rows_mm(feat, i1)
+    has_uv = scene.uv.shape[0] > 0
+    uvs = (
+        jnp.stack([gather_rows_mm(scene.uv, iuv0), gather_rows_mm(scene.uv, iuv1)], axis=1)
+        if has_uv
+        else jnp.zeros((i0.shape[0], 2, 2), ij_off.dtype)
+    )
+    return EdgeData(
+        v0=e0[:, :2],
+        v1=e1[:, :2],
+        z=jnp.stack([e0[:, 2], e1[:, 2]], axis=1),
+        attrs=jnp.stack([e0[:, 3 : 3 + c], e1[:, 3 : 3 + c]], axis=1),
+        uvs=uvs,
+        shades=jnp.stack([e0[:, 3 + c], e1[:, 3 + c]], axis=1),
+        active=active,
+        use_texture=use_texture,
+    )
 
 
 def _order_descending(keys: jnp.ndarray) -> jnp.ndarray:

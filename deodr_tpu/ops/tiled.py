@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from deodr_tpu.ops.raster import TriangleRowSetup, triangle_row_setup
-from deodr_tpu.ops.common import ceil_div, floor_div
+from deodr_tpu.ops.common import ceil_div, floor_div, gather_rows_mm
 from deodr_tpu.ops.edge_aa import EdgeAAConfig, EdgeData, edge_overdraw_pass, edge_overdraw_pass_window_at
 
 
@@ -106,6 +106,34 @@ def _compact_bins(mask: jnp.ndarray, capacity: int):
     slot_valid = jnp.sum(onehot, axis=1) > 0.5
     counts = jnp.sum(mask, axis=1)
     return slots, slot_valid, counts
+
+
+def _occlusion_keep_mask(edge_z, z_buffer, n_ty, n_tx, tile_h, tile_w):
+    """(n_tiles, E) bool: can an edge band blend ANY pixel of the tile?
+
+    The edge blend is z-tested with strict < against the solid pass's
+    z-buffer (reference: C++/DifferentiableRenderer.h:1632), and on the band
+    b0 + b1 = 1 with b0, b1 ≥ 0, so the band's depth lies within
+    [min(z0, z1), max(z0, z1)]. A band whose nearest endpoint depth is not
+    in front of the tile's farthest z-buffer entry blends nothing there —
+    cull it at binning time. Under real occlusion (depth complexity > 1)
+    this removes most slot visits from the painter loops; gradients are
+    unaffected because an everywhere-z-failed band contributes exactly zero
+    to both the blend and its adjoint. A relative depth slack keeps the cull
+    conservative against the fp32 rounding of the kernel's affine depth
+    plane (bands within the slack of the z-buffer are kept, never dropped).
+    """
+    h, w = z_buffer.shape
+    zp = jnp.pad(
+        jax.lax.stop_gradient(z_buffer),
+        [(0, n_ty * tile_h - h), (0, n_tx * tile_w - w)],
+        constant_values=-jnp.inf,
+    )
+    tile_z_max = jnp.max(zp.reshape(n_ty, tile_h, n_tx, tile_w), axis=(1, 3)).reshape(-1)
+    z = jax.lax.stop_gradient(edge_z)
+    z_near = jnp.min(z, axis=1)  # (E,)
+    slack = 1e-3 * (1.0 + jnp.abs(z_near))
+    return (z_near - slack)[None, :] < tile_z_max[:, None]
 
 
 def _edge_band_tile_mask(v0, v1, sigma, active, n_ty, n_tx, tile_h, tile_w, height, width, margin=1.0, xp=jnp):
@@ -382,7 +410,10 @@ def rasterize_tiled(
     dtype = ij_off.dtype
     has_texture = scene.texture is not None
 
-    v_xy = ij_off[scene.faces]
+    # gather_rows_mm: gathers whose VJP is an MXU one-hot contraction
+    # instead of a TPU scatter-add (the scatters were the hottest XLA
+    # fusions in the fwd+bwd profile)
+    v_xy = gather_rows_mm(ij_off, scene.faces)
     v_z = scene.depths[scene.faces]
     persp = scene.perspective_correct
 
@@ -495,6 +526,7 @@ def edge_pass_tiled(
         jax.lax.stop_gradient(edges.v0), jax.lax.stop_gradient(edges.v1), sigma,
         edges.active, n_ty, n_tx, th, tw, height, width,
     )
+    mask = mask & _occlusion_keep_mask(edges.z, z_buffer, n_ty, n_tx, th, tw)
     slots, slot_valid, counts = _compact_bins(mask, tiling.edge_capacity)
 
     # pad buffer / z_buffer to the tile grid and split into tiles
@@ -547,10 +579,10 @@ def _affine_attribute_maps(scene, v_xy, v_z):
     persp = scene.perspective_correct
     has_texture = scene.texture is not None
     xy1_to_bary, _ = safe_barycentric_matrices(v_xy)
-    corner_list = [scene.colors[scene.faces]]
+    corner_list = [gather_rows_mm(scene.colors, scene.faces)]
     if has_texture:
-        corner_list.append(scene.uv[scene.faces_uv])
-        corner_list.append(scene.shade[scene.faces][..., None])
+        corner_list.append(gather_rows_mm(scene.uv, scene.faces_uv))
+        corner_list.append(gather_rows_mm(scene.shade[:, None], scene.faces))
     corner = jnp.concatenate(corner_list, axis=-1)
     if persp:
         corner = corner / v_z[..., None]
@@ -631,7 +663,10 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     n_tx = -(-width // tw)
     dtype = ij_off.dtype
 
-    v_xy = ij_off[scene.faces]
+    # gather_rows_mm: gathers whose VJP is an MXU one-hot contraction
+    # instead of a TPU scatter-add (the scatters were the hottest XLA
+    # fusions in the fwd+bwd profile)
+    v_xy = gather_rows_mm(ij_off, scene.faces)
     v_z = scene.depths[scene.faces]
     persp = scene.perspective_correct
 
@@ -658,7 +693,7 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     affine_g = jnp.swapaxes(affine, 1, 2).reshape(affine.shape[0], 3 * d_total)
     affine_g = jnp.concatenate([affine_g, jnp.zeros((1, 3 * d_total), dtype)], axis=0)
     miss = jnp.full((slots.shape[0], 1), affine_g.shape[0] - 1, jnp.int32)
-    affine_tile = jnp.swapaxes(affine_g[jnp.concatenate([slots, miss], axis=1)], 1, 2)  # (n_tiles, 3D, cap+1)
+    affine_tile = jnp.swapaxes(gather_rows_mm(affine_g, jnp.concatenate([slots, miss], axis=1)), 1, 2)  # (n_tiles, 3D, cap+1)
 
     cfg = PallasRasterConfig(
         tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, n_attr=d_total,
@@ -884,9 +919,10 @@ def edge_pass_tiled_pallas(
         jax.lax.stop_gradient(v0), jax.lax.stop_gradient(v1), sigma, active,
         n_ty, n_tx, th, tw, height, width,
     )
+    mask = mask & _occlusion_keep_mask(edges.z, z_buffer, n_ty, n_tx, th, tw)
     slots, slot_valid, counts = _compact_bins(mask, tiling.edge_capacity)
     cap = slots.shape[1]
-    table_tile = rows[slots]  # (n_tiles, cap, W)
+    table_tile = gather_rows_mm(rows, slots)  # (n_tiles, cap, W)
     table_tile = table_tile.at[:, :, edge_row_width(c) - 1].multiply(slot_valid.astype(dtype))
     # SMEM layout: narrow axis as rows (Mosaic pads SMEM rows to ~1 KiB)
     table_tile = jnp.swapaxes(table_tile, 1, 2)  # (n_tiles, W, cap)
