@@ -53,16 +53,60 @@ class _FitterRenderCore:
         every host↔device roundtrip costs ~57 ms on a tunneled TPU, so the
         eager silhouette/occupancy ops this used to run dominated each
         fitting step."""
+        return self._plan_impl(camera, jnp.asarray(vertices)[None])
+
+    def plan_multi(self, camera: Camera, vertices_stack):
+        """One plan covering a whole stack of per-frame geometries (F, V, 3):
+        the plan statistics are vmapped over frames and maxed, so a
+        multi-frame fitter pays ONE plan sync per step instead of one per
+        frame — and every frame shares one compiled step function."""
+        return self._plan_impl(camera, jnp.asarray(vertices_stack))
+
+    def _plan_ctx(self, camera: Camera):
         from deodr_tpu.ops.render import default_impl
-        from deodr_tpu.ops.tiled import TilingConfig, _edge_band_tile_mask
+
+        want_tiling = self.mesh.nb_faces > 256
+        for_pallas = default_impl() == "pallas"
+        key = (
+            "plan", camera.extrinsic.tobytes(), camera.intrinsic.tobytes(),
+            b"" if camera.distortion is None else np.asarray(camera.distortion).tobytes(),
+            camera.height, camera.width, want_tiling, for_pallas,
+        )
+        return want_tiling, for_pallas, (128 if for_pallas else 64), (8, 16, 32, 64), key
+
+    def plan_guess(self, camera: Camera):
+        """Last accepted plan for this camera (None before the first step).
+        Steps run with the guess and validate it afterwards against plan
+        statistics fetched in the SAME host sync as the step results —
+        one roundtrip per iteration instead of two."""
+        key = self._plan_ctx(camera)[4]
+        return self._jit_cache.get(("last_plan",) + key[1:])
+
+    def plan_fits(self, camera: Camera, stats, cap, tiling) -> bool:
+        """Was (cap, tiling) sufficient for geometry with these statistics —
+        no silhouette edge dropped, no bin overflowed?"""
+        want_tiling, _, _, cands, _ = self._plan_ctx(camera)
+        if self.sigma > 0 and (cap is None or int(stats[0]) > cap):
+            return False
+        if want_tiling:
+            if tiling is None:
+                return False
+            k = cands.index(tiling.tile_h)
+            if int(stats[2 + 2 * k]) > tiling.triangle_capacity:
+                return False
+            if self.sigma > 0 and int(stats[3 + 2 * k]) > tiling.edge_capacity:
+                return False
+        return True
+
+    def stats_dispatch(self, camera: Camera, verts_batch):
+        """Dispatch (WITHOUT syncing) the jitted plan-statistics computation
+        over a (F, V, 3) stack of geometries; returns the device array."""
+        from deodr_tpu.ops.tiled import _edge_band_tile_mask
 
         mesh = self.mesh
         sigma = self.sigma
         height, width = camera.height, camera.width
-        want_tiling = mesh.nb_faces > 256
-        for_pallas = default_impl() == "pallas"
-        tile_w = 128 if for_pallas else 64
-        tile_h_candidates = (8, 16, 32, 64)
+        want_tiling, for_pallas, tile_w, tile_h_candidates, key = self._plan_ctx(camera)
 
         def make_plan_fn():
             def occupancy(x_lo, x_hi, y_lo, y_hi, n_ty, n_tx, th, tw):
@@ -115,16 +159,27 @@ class _FitterRenderCore:
                             stats.append(jnp.zeros(()))
                 return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
 
-            return jax.jit(f)
+            return jax.jit(jax.vmap(f))
 
-        key = ("plan", camera.extrinsic.tobytes(), camera.intrinsic.tobytes(),
-               b"" if camera.distortion is None else np.asarray(camera.distortion).tobytes(),
-               height, width, want_tiling, for_pallas)
         plan_fn = self._jit_cache.get(key)
         if plan_fn is None:
             plan_fn = make_plan_fn()
             self._jit_cache[key] = plan_fn
-        stats = np.asarray(plan_fn(jnp.asarray(vertices)))  # the ONE sync
+        return plan_fn(verts_batch)
+
+    def _plan_impl(self, camera: Camera, verts_batch):
+        stats = np.asarray(jax.device_get(self.stats_dispatch(camera, verts_batch))).max(axis=0)
+        return self.plan_from_stats(camera, stats)
+
+    def plan_from_stats(self, camera: Camera, stats):
+        """Turn fetched plan statistics into (cap, tiling), apply hysteresis,
+        and record the result as the camera's last accepted plan."""
+        from deodr_tpu.ops.tiled import TilingConfig
+
+        mesh = self.mesh
+        sigma = self.sigma
+        height, width = camera.height, camera.width
+        want_tiling, for_pallas, tile_w, tile_h_candidates, key = self._plan_ctx(camera)
 
         cap = None
         need_count = 0
@@ -188,6 +243,42 @@ class _FitterRenderCore:
             fn = jax.jit(make())
             self._jit_cache[key] = fn
         return fn
+
+    def planned_step(self, camera: Camera, verts_batch, key_prefix, extra_key, make_fn, args, fetch_selector):
+        """One fitting step with ONE host sync.
+
+        Dispatches the plan statistics and the step (run with the last
+        accepted plan) asynchronously, then fetches the statistics together
+        with ``fetch_selector(out)`` in a single ``device_get`` — on a
+        tunneled TPU each sync costs ~57 ms, so this halves the per-iteration
+        floor versus plan-then-step. If the guessed plan turns out to
+        under-provision a bin (rare: geometry changed sharply), the step is
+        re-run once with a fresh plan, so results are always exact.
+
+        Returns (out_device, fetched).
+        """
+        stats_dev = self.stats_dispatch(camera, verts_batch)
+        guess = self.plan_guess(camera)
+        if guess is None:
+            stats = np.asarray(jax.device_get(stats_dev)).max(axis=0)
+            guess = self.plan_from_stats(camera, stats)
+            stats_dev = None
+        cap, tiling = guess
+
+        def build(c, t):
+            return self.cached((key_prefix, c, t) + tuple(extra_key), lambda: make_fn(c, t))
+
+        out = build(cap, tiling)(*args)
+        if stats_dev is None:
+            return out, jax.device_get(fetch_selector(out))
+        stats, fetched = jax.device_get((stats_dev, fetch_selector(out)))
+        stats = np.asarray(stats).max(axis=0)
+        self.plan_from_stats(camera, stats)  # hysteresis update for the next step
+        if not self.plan_fits(camera, stats, cap, tiling):
+            cap, tiling = self.plan_guess(camera)
+            out = build(cap, tiling)(*args)
+            fetched = jax.device_get(fetch_selector(out))
+        return out, fetched
 
     def cached_raw(self, key, make):
         """Like ``cached`` but stores ``make()`` verbatim (for values that
@@ -340,13 +431,20 @@ class MeshDepthFitter:
     def step(self) -> Tuple[float, np.ndarray, np.ndarray]:
         self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]
         vt = self._transformed_vertices()
-        cap, tiling = self.core.plan(self.camera, vt)
-        fn = self.core.cached(("depth", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling))
-        out = fn(
-            jnp.asarray(self.vertices), jnp.asarray(self.transform_quaternion), jnp.asarray(self.transform_translation)
+        # plan statistics + step results fetched in ONE host sync (rendered
+        # depth / diff images are returned as lazy device arrays — a
+        # transfer happens only if the caller reads the pixels)
+        out, fetched = self.core.planned_step(
+            self.camera,
+            vt[None],
+            "depth",
+            (self.width, self.height),
+            self._make_energy,
+            (jnp.asarray(self.vertices), jnp.asarray(self.transform_quaternion), jnp.asarray(self.transform_translation)),
+            lambda o: (o[0], o[2], o[3], o[4]),
         )
-        # ONE batched host fetch for the whole step
-        energy_data, (depth, diff_image), grads, e_rigid, grad_rigidity = jax.device_get(out)
+        depth, diff_image = out[1]
+        energy_data, grads, e_rigid, grad_rigidity = fetched
         vertices_b, quaternion_b, translation_b = grads
         energy_data = float(energy_data)
 
@@ -604,18 +702,27 @@ class MeshRGBFitterWithPose:
         self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]
         q_n = normalize(jnp.asarray(self.transform_quaternion))
         vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(self.transform_translation)
-        cap, tiling = self.core.plan(self.camera, vt)
-        fn = self.core.cached(("rgb", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling))
-        out = fn(
-            jnp.asarray(self.vertices),
-            jnp.asarray(self.transform_quaternion),
-            jnp.asarray(self.transform_translation),
-            jnp.asarray(self.mesh_color),
-            jnp.asarray(self.light_directional),
-            jnp.asarray(float(self.light_ambient)),
+        # plan statistics + step results fetched in ONE host sync; rendered
+        # images are returned as lazy device arrays (transfer only on pixel
+        # access)
+        out, fetched = self.core.planned_step(
+            self.camera,
+            vt[None],
+            "rgb",
+            (self.width, self.height),
+            self._make_energy,
+            (
+                jnp.asarray(self.vertices),
+                jnp.asarray(self.transform_quaternion),
+                jnp.asarray(self.transform_translation),
+                jnp.asarray(self.mesh_color),
+                jnp.asarray(self.light_directional),
+                jnp.asarray(float(self.light_ambient)),
+            ),
+            lambda o: (o[0], o[2], o[3], o[4]),
         )
-        # ONE batched host fetch for the whole step
-        energy_data, (image, diff_image), grads, e_rigid, grad_rigidity = jax.device_get(out)
+        image, diff_image = out[1]
+        energy_data, grads, e_rigid, grad_rigidity = fetched
         vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = grads
         energy_data = float(energy_data)
 
@@ -799,32 +906,66 @@ class MeshRGBFitterWithPoseMultiFrame:
 
     def energy_data(self, vertices):
         self.vertices = vertices
-        images, diff_images, energy_datas = [], [], []
+        images, diff_images = [], []
         self._vertices_b = np.zeros(self.vertices.shape)
         self.transform_quaternion_b = np.zeros(self.transform_quaternion.shape)
         self.transform_translation_b = np.zeros(self.transform_translation.shape)
         self.mesh_color_b = np.zeros(self.mesh_color.shape)
         self.light_directional_b = np.zeros(self.light_directional.shape)
         self.light_ambient_b = 0.0
-        for idframe in range(self.nb_frames):
-            q = self.transform_quaternion[idframe]
-            t = self.transform_translation[idframe]
-            q_n = normalize(jnp.asarray(q))
-            vt = qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(t)
-            cap, tiling = self.core.plan(self.camera, vt)
-            fn = self.core.cached(("multi", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling))
-            out = fn(
-                jnp.asarray(self.vertices),
-                jnp.asarray(q),
-                jnp.asarray(t),
-                jnp.asarray(self.mesh_color),
-                jnp.asarray(self.light_directional),
-                jnp.asarray(float(self.light_ambient)),
-                jnp.asarray(self.mesh_images[idframe]),
+
+        v_j = jnp.asarray(self.vertices)
+        q_all = jnp.asarray(self.transform_quaternion)
+        t_all = jnp.asarray(self.transform_translation)
+        # plan statistics cover every frame's pose (max over frames), so all
+        # frames share a single compiled step function — and they are fetched
+        # together with every frame's scalars/gradients in ONE host sync
+        vts = jax.vmap(lambda q, t: qrot(normalize(q), v_j) + t)(q_all, t_all)
+        stats_dev = self.core.stats_dispatch(self.camera, vts)
+        guess = self.core.plan_guess(self.camera)
+        if guess is None:
+            stats = np.asarray(jax.device_get(stats_dev)).max(axis=0)
+            guess = self.core.plan_from_stats(self.camera, stats)
+            stats_dev = None
+        cap, tiling = guess
+
+        def run_frames(cap, tiling):
+            fn = self.core.cached(
+                ("multi", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling)
             )
-            # one batched host fetch per frame (each separate fetch pays a
-            # full device roundtrip)
-            e, (image, diff_image), grads = jax.device_get(out)
+            return [
+                fn(
+                    v_j,
+                    q_all[idframe],
+                    t_all[idframe],
+                    jnp.asarray(self.mesh_color),
+                    jnp.asarray(self.light_directional),
+                    jnp.asarray(float(self.light_ambient)),
+                    jnp.asarray(self.mesh_images[idframe]),
+                )
+                for idframe in range(self.nb_frames)
+            ]
+
+        outs = run_frames(cap, tiling)
+        e_rigid_j, grad_rigidity_j, _ = self.rigid_energy.evaluate(v_j)
+        # the frame images stay on device (returned lazily — converting them
+        # costs a transfer only if the caller actually reads the pixels)
+        if stats_dev is not None:
+            stats, scalars, self._e_rigid, self._grad_rigidity = jax.device_get(
+                (stats_dev, [(o[0], o[2]) for o in outs], e_rigid_j, grad_rigidity_j)
+            )
+            stats = np.asarray(stats).max(axis=0)
+            self.core.plan_from_stats(self.camera, stats)
+            if not self.core.plan_fits(self.camera, stats, cap, tiling):
+                cap, tiling = self.core.plan_guess(self.camera)
+                outs = run_frames(cap, tiling)
+                scalars = jax.device_get([(o[0], o[2]) for o in outs])
+        else:
+            scalars, self._e_rigid, self._grad_rigidity = jax.device_get(
+                ([(o[0], o[2]) for o in outs], e_rigid_j, grad_rigidity_j)
+            )
+        energy_datas = []
+        for idframe, (e, grads) in enumerate(scalars):
             vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = grads
             self._vertices_b += vertices_b
             self.transform_quaternion_b[idframe] += quaternion_b
@@ -832,8 +973,8 @@ class MeshRGBFitterWithPoseMultiFrame:
             self.mesh_color_b += mesh_color_b
             self.light_directional_b += light_directional_b
             self.light_ambient_b += float(light_ambient_b)
-            images.append(image)
-            diff_images.append(diff_image)
+            images.append(outs[idframe][1][0])
+            diff_images.append(outs[idframe][1][1])
             energy_datas.append(float(e))
         return float(np.sum(energy_datas)), images, diff_images
 
@@ -841,7 +982,7 @@ class MeshRGBFitterWithPoseMultiFrame:
         self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]
         self.nb_frames = len(self.mesh_images)
         energy_data, images, diff_images = self.energy_data(self.vertices)
-        e_rigid, grad_rigidity, _ = self.rigid_energy.evaluate(jnp.asarray(self.vertices))
+        e_rigid, grad_rigidity = self._e_rigid, self._grad_rigidity  # fetched in the same sync
         energy = energy_data + float(e_rigid)
         print(f"iter {self.iter} Energy={energy} : EData={energy_data} E_rigid={float(e_rigid)}")
 
