@@ -44,6 +44,13 @@ def _gather_rows_mm_bwd(res, ct):
     if n == 0 or d == 0:
         return jnp.zeros(x_shape, ct.dtype), None
     ct_flat = ct.reshape(n, d)
+    if n * n_rows > (1 << 22):
+        # large shapes: the one-hot operand itself is O(n·n_rows) element ops
+        # (~160M for a 4k-row table gathered into 38k slots), while the
+        # scatter-add touches only the n gathered rows — there the scatter's
+        # ~1 row/cycle is the better trade
+        g = jnp.zeros((n_rows, d), ct_flat.dtype).at[idx_flat].add(ct_flat)
+        return g.reshape(x_shape), None
     onehot = (idx_flat[:, None] == jnp.arange(n_rows, dtype=idx_flat.dtype)[None, :]).astype(ct_flat.dtype)
     g = jnp.einsum("nr,nd->rd", onehot, ct_flat, precision=jax.lax.Precision.HIGHEST)
     return g.reshape(x_shape), None
@@ -154,10 +161,24 @@ def bilinear_sample(texture: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     ev = jnp.where(fv < 0, 0.0, jnp.where(fv > th - 2, 1.0, v - fv))
     iu = jnp.clip(fu, 0, tw - 2).astype(jnp.int32)
     iv = jnp.clip(fv, 0, th - 2).astype(jnp.int32)
-    t00 = texture[iv, iu]
-    t10 = texture[iv, iu + 1]
-    t01 = texture[iv + 1, iu]
-    t11 = texture[iv + 1, iu + 1]
+    # TPU gathers cost ~11 cycles per ROW regardless of row width, and only
+    # (1, minor)-slice gathers take XLA's fast path (any wider slice shape
+    # falls into a ~50x-slower emulation). So: build a "footprint" table
+    # whose row i holds all four bilinear taps [tex[i] | tex[i+1] |
+    # tex[i+tw] | tex[i+tw+1]] with three cheap dense rolls, and fetch the
+    # whole 2x2 footprint with ONE row gather per pixel — 4x fewer gather
+    # rows than per-tap gathers, and the transpose is an equally-flat 4x
+    # smaller scatter-add followed by dense un-rolls.
+    c = texture.shape[2]
+    tf = texture.reshape(-1, c)
+    foot = jnp.concatenate(
+        [tf, jnp.roll(tf, -1, 0), jnp.roll(tf, -tw, 0), jnp.roll(tf, -tw - 1, 0)], axis=1
+    )  # (th·tw, 4C); wrapped rows are never fetched (iu ≤ tw-2, iv ≤ th-2)
+    taps = foot[iv * tw + iu]  # (..., 4C)
+    t00 = taps[..., 0 * c : 1 * c]
+    t10 = taps[..., 1 * c : 2 * c]
+    t01 = taps[..., 2 * c : 3 * c]
+    t11 = taps[..., 3 * c : 4 * c]
     w_eu = eu[..., None]
     w_ev = ev[..., None]
     return ((1 - w_eu) * t00 + w_eu * t10) * (1 - w_ev) + ((1 - w_eu) * t01 + w_eu * t11) * w_ev
@@ -184,10 +205,13 @@ def bilinear_sample_window(tex_win: jnp.ndarray, p: jnp.ndarray, origin, full_hw
     wh, ww = tex_win.shape[0], tex_win.shape[1]
     iu = jnp.clip(iu, 0, ww - 2)
     iv = jnp.clip(iv, 0, wh - 2)
-    t00 = tex_win[iv, iu]
-    t10 = tex_win[iv, iu + 1]
-    t01 = tex_win[iv + 1, iu]
-    t11 = tex_win[iv + 1, iu + 1]
+    # flat row gathers: see bilinear_sample
+    win_flat = tex_win.reshape(-1, tex_win.shape[2])
+    base = iv * ww + iu
+    t00 = win_flat[base]
+    t10 = win_flat[base + 1]
+    t01 = win_flat[base + ww]
+    t11 = win_flat[base + ww + 1]
     w_eu = eu[..., None]
     w_ev = ev[..., None]
     return ((1 - w_eu) * t00 + w_eu * t10) * (1 - w_ev) + ((1 - w_eu) * t01 + w_eu * t11) * w_ev

@@ -117,6 +117,7 @@ def render_scene(
     impl_interpret: bool = False,
     aa_window: Optional[tuple] = None,
     aa_tex_window: Optional[tuple] = None,
+    aa_tex_plan=None,
 ):
     """Render a 2.5D scene.
 
@@ -222,13 +223,35 @@ def render_scene(
         texture = scene.texture
         if texture is None:
             texture = jnp.zeros((1, 1, scene.colors.shape[1]), scene.colors.dtype)
-        # textured scenes skip the *tiled* edge pass even when tiling is on:
-        # its reverse scan would carry a full texture-gradient buffer per
-        # framebuffer tile (n_tiles x texture bytes of HBM traffic per edge
-        # slot — ~100 GB for a 512^2 texture at 640x480), while the untiled
-        # pass carries exactly one
+        # textured scenes route to the Pallas textured edge kernel when a
+        # texture-window plan is available (per-edge uv windows + soft-one-hot
+        # MXU sampling; see ops/pallas/edge_tex_kernel.py). The XLA *tiled*
+        # textured pass stays disallowed: its reverse scan would carry a full
+        # texture-gradient buffer per framebuffer tile (n_tiles x texture
+        # bytes of HBM traffic per edge slot — ~100 GB for a 512^2 texture at
+        # 640x480), while the untiled pass carries exactly one
+        use_pallas_tex_edges = (
+            tiling is not None
+            and impl == "pallas"
+            and scene.texture is not None
+            and not scene.perspective_correct
+            and aa_tex_plan is not None
+        )
         use_tiled_edges = tiling is not None and scene.texture is None
-        if use_tiled_edges:
+        if use_pallas_tex_edges:
+            from deodr_tpu.ops.tiled import edge_pass_tiled_pallas_tex
+
+            if antialiase_error:
+                err_buffer, _ = edge_pass_tiled_pallas_tex(
+                    cfg, err_buffer, edges, texture, z_buffer, obs, tiling, aa_tex_plan,
+                    interpret=impl_interpret,
+                )
+            else:
+                image, _ = edge_pass_tiled_pallas_tex(
+                    cfg, image, edges, texture, z_buffer, None, tiling, aa_tex_plan,
+                    interpret=impl_interpret,
+                )
+        elif use_tiled_edges:
             if use_pallas_edges:
                 from deodr_tpu.ops.tiled import edge_pass_tiled_pallas
 
@@ -357,7 +380,7 @@ def _order_descending(keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ip,i->p", onehot, idx.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling", "impl", "aa_window", "aa_tex_window"))
+@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling", "impl", "aa_window", "aa_tex_window", "aa_tex_plan"))
 def render_scene_jit(
     scene: SceneBuffers,
     sigma: float,
@@ -369,6 +392,7 @@ def render_scene_jit(
     impl: Optional[str] = "xla",
     aa_window: Optional[tuple] = None,
     aa_tex_window: Optional[tuple] = None,
+    aa_tex_plan=None,
 ):
     """Compile-cached entry point for :func:`render_scene`."""
     return render_scene(
@@ -382,4 +406,5 @@ def render_scene_jit(
         impl=impl,
         aa_window=aa_window,
         aa_tex_window=aa_tex_window,
+        aa_tex_plan=aa_tex_plan,
     )

@@ -95,16 +95,16 @@ def _compact_bins(mask: jnp.ndarray, capacity: int):
     each item is its prefix count; a one-hot (item, position) contraction
     then yields the per-tile slot lists, preserving item order.
     """
-    n = mask.shape[1]
+    n_tiles, n = mask.shape
     cap = min(capacity, n)
     maskf = mask.astype(jnp.float32)
     rank = _exclusive_prefix_count(maskf).astype(jnp.int32)  # (n_tiles, N)
+    counts = jnp.sum(mask, axis=1)
     ks = jnp.arange(cap, dtype=jnp.int32)
     onehot = ((rank[:, :, None] == ks[None, None, :]) & mask[:, :, None]).astype(jnp.float32)
     ids = jnp.arange(n, dtype=jnp.float32)
     slots = jnp.einsum("tnk,n->tk", onehot, ids, precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     slot_valid = jnp.sum(onehot, axis=1) > 0.5
-    counts = jnp.sum(mask, axis=1)
     return slots, slot_valid, counts
 
 
@@ -198,16 +198,28 @@ def _edge_band_tile_mask(v0, v1, sigma, active, n_ty, n_tx, tile_h, tile_w, heig
     return mask.reshape(n_ty * n_tx, -1)
 
 
-def split_edges(edges: EdgeData, n_split: int, segment_length: float) -> EdgeData:
+def split_edges(
+    edges: EdgeData, n_split: int, segment_length: Optional[float], uv_segment_length: Optional[float] = None
+) -> EdgeData:
     """Chop each edge into up to ``n_split`` collinear segments of roughly
-    ``segment_length`` pixels; extra segments of short edges are inactive.
-    Segment order is edge-major so cross-edge depth ordering is preserved
-    (segments of one edge cover disjoint band regions, so their relative
-    order is irrelevant)."""
+    ``segment_length`` pixels (and/or ``uv_segment_length`` texels along the
+    edge's uv segment — the criterion used to bound per-segment texture
+    windows); extra segments of short edges are inactive. Segment order is
+    edge-major so cross-edge depth ordering is preserved (segments of one
+    edge cover disjoint band regions, so their relative order is
+    irrelevant). Segment endpoints at t == 0/1 reuse the original endpoint
+    arrays bit-for-bit, so unsplit edges are unchanged."""
     e = edges.v0.shape[0]
     dtype = edges.v0.dtype
-    length = jnp.sqrt(jnp.sum((edges.v1 - edges.v0) ** 2, axis=1))
-    n_seg = jnp.clip(jnp.ceil(length / segment_length), 1, n_split)  # (E,)
+    need = jnp.ones((e,), dtype)
+    if segment_length is not None:
+        length = jnp.sqrt(jnp.sum((edges.v1 - edges.v0) ** 2, axis=1))
+        need = jnp.maximum(need, length / segment_length)
+    if uv_segment_length is not None:
+        # chebyshev uv span: texture windows are axis-aligned
+        uvlen = jnp.max(jnp.abs(edges.uvs[:, 1] - edges.uvs[:, 0]), axis=1)
+        need = jnp.maximum(need, uvlen / uv_segment_length)
+    n_seg = jnp.clip(jnp.ceil(jnp.nan_to_num(need, nan=1.0, posinf=float(n_split))), 1, n_split)  # (E,)
     ks = jnp.arange(n_split, dtype=dtype)  # (S,)
     t0 = jnp.minimum(ks[None, :] / n_seg[:, None], 1.0)  # (E, S)
     t1 = jnp.minimum((ks[None, :] + 1) / n_seg[:, None], 1.0)
@@ -216,7 +228,7 @@ def split_edges(edges: EdgeData, n_split: int, segment_length: float) -> EdgeDat
     def lerp(a0, a1, t):
         extra = a0.ndim - t.ndim
         tt = t.reshape(t.shape + (1,) * extra)
-        return a0 + tt * (a1 - a0)
+        return jnp.where(tt == 0.0, a0, jnp.where(tt == 1.0, a1, a0 + tt * (a1 - a0)))
 
     def expand(a0, a1):
         # (E, ...) pairs → (E*S, ...) segment endpoints
@@ -814,42 +826,17 @@ def suggest_tiling(
     )
 
 
-def edge_pass_tiled_pallas(
-    cfg: EdgeAAConfig,
-    buffer: jnp.ndarray,
-    edges: EdgeData,
-    z_buffer: jnp.ndarray,
-    obs,
-    tiling: TilingConfig,
-    interpret: bool = False,
-):
-    """Pallas-kernel edge-overdraw pass (untextured attribute path).
+def _edge_stencil_rows(cfg: EdgeAAConfig, edges: EdgeData, height: int):
+    """Differentiable per-edge stencil coefficient rows shared by the Pallas
+    edge wrappers: (b0c, b1c, tc, y_beg, y_end, zcoef, active).
 
-    The differentiable per-edge stencil coefficients (b0/b1/T affine rows,
-    via the 3x3 edge-matrix inverse) are built in XLA so jax.grad chains
-    per-slot gradients from the kernel's custom VJP back to the edge
-    endpoint positions; the sequential per-tile blending runs in VMEM.
-    Returns (buffer, max_bin_count).
+    Degenerate (inactive / zero-length) edges would make the stencil matrix
+    singular; NaN primals would poison the zero cotangents flowing back
+    through the matrix-inverse VJP, so substitute a harmless dummy edge.
     """
     from deodr_tpu.ops.common import inv3x3
-    from deodr_tpu.ops.pallas.edge_kernel import (
-        PallasEdgeConfig,
-        edge_pass_pallas,
-        edge_row_width,
-    )
 
-    height, width = cfg.height, cfg.width
-    th, tw = tiling.tile_h, tiling.tile_w
-    n_ty = -(-height // th)
-    n_tx = -(-width // tw)
     sigma = cfg.sigma
-    dtype = buffer.dtype
-    c = edges.attrs.shape[-1]
-
-    # --- differentiable per-edge stencil coefficient rows ---
-    # degenerate (inactive / zero-length) edges would make the stencil matrix
-    # singular; NaN primals would poison the zero cotangents flowing back
-    # through the matrix-inverse VJP, so substitute a harmless dummy edge
     v0 = edges.v0
     # cancellation-aware threshold: the stencil det is ±|edge| computed via
     # O(coord) cofactor products, so edges shorter than the fp noise floor
@@ -885,6 +872,88 @@ def edge_pass_tiled_pallas(
 
     finite = jnp.all(jnp.isfinite(inv), axis=(1, 2))
     active = edges.active & finite & ~degenerate
+    zcoef = jax.lax.stop_gradient(b0c * edges.z[:, 0:1] + b1c * edges.z[:, 1:2])  # (E, 3)
+    return b0c, b1c, tc, y_beg, y_end, zcoef, active
+
+
+def compact_active_edges(edges: EdgeData, capacity: int) -> EdgeData:
+    """Compact active edges/segments to the front, preserving order.
+
+    Index-level (sort-free prefix-count ranks), then ONE feature-matrix
+    gather with a matmul adjoint so the backward pass pays a single MXU
+    contraction instead of per-field scatter-adds.
+    """
+    e = edges.active.shape[0]
+    cap = min(capacity, e)
+    activef = edges.active.astype(jnp.float32)
+    rank = (jnp.cumsum(activef) - activef).astype(jnp.int32)
+    ks = jnp.arange(cap, dtype=jnp.int32)
+    onehot = ((rank[:, None] == ks[None, :]) & edges.active[:, None]).astype(jnp.float32)
+    perm = jnp.einsum(
+        "nk,n->k", onehot, jnp.arange(e, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)
+    got = jnp.sum(onehot, axis=0) > 0.5
+
+    c = edges.attrs.shape[-1]
+    feat = jnp.concatenate(
+        [
+            edges.v0,
+            edges.v1,
+            edges.z,
+            edges.attrs[:, 0],
+            edges.attrs[:, 1],
+            edges.uvs[:, 0],
+            edges.uvs[:, 1],
+            edges.shades,
+        ],
+        axis=1,
+    )  # (E, 10 + 2C)
+    f = gather_rows_mm(feat, perm)
+    return EdgeData(
+        v0=f[:, 0:2],
+        v1=f[:, 2:4],
+        z=f[:, 4:6],
+        attrs=jnp.stack([f[:, 6 : 6 + c], f[:, 6 + c : 6 + 2 * c]], axis=1),
+        uvs=jnp.stack([f[:, 6 + 2 * c : 8 + 2 * c], f[:, 8 + 2 * c : 10 + 2 * c]], axis=1),
+        shades=f[:, 10 + 2 * c : 12 + 2 * c],
+        active=edges.active[perm] & got,
+        use_texture=edges.use_texture[perm],
+    )
+
+
+def edge_pass_tiled_pallas(
+    cfg: EdgeAAConfig,
+    buffer: jnp.ndarray,
+    edges: EdgeData,
+    z_buffer: jnp.ndarray,
+    obs,
+    tiling: TilingConfig,
+    interpret: bool = False,
+):
+    """Pallas-kernel edge-overdraw pass (untextured attribute path).
+
+    The differentiable per-edge stencil coefficients (b0/b1/T affine rows,
+    via the 3x3 edge-matrix inverse) are built in XLA so jax.grad chains
+    per-slot gradients from the kernel's custom VJP back to the edge
+    endpoint positions; the sequential per-tile blending runs in VMEM.
+    Returns (buffer, max_bin_count).
+    """
+    from deodr_tpu.ops.pallas.edge_kernel import (
+        PallasEdgeConfig,
+        edge_pass_pallas,
+        edge_row_width,
+    )
+
+    height, width = cfg.height, cfg.width
+    th, tw = tiling.tile_h, tiling.tile_w
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    sigma = cfg.sigma
+    dtype = buffer.dtype
+    c = edges.attrs.shape[-1]
+
+    b0c, b1c, tc, y_beg, y_end, zcoef, active = _edge_stencil_rows(cfg, edges, height)
+    v0, v1 = edges.v0, edges.v1
 
     # fold the per-channel edge color a_ch = b0·attrs0[ch] + b1·attrs1[ch]
     # and the depth z = b0·z0 + b1·z1 into affine (x, y) coefficients here —
@@ -896,7 +965,6 @@ def edge_pass_tiled_pallas(
     a0 = edges.attrs[:, 0, :]  # (E, C)
     a1 = edges.attrs[:, 1, :]
     acoef = b0c[:, None, :] * a0[:, :, None] + b1c[:, None, :] * a1[:, :, None]  # (E, C, 3)
-    zcoef = jax.lax.stop_gradient(b0c * edges.z[:, 0:1] + b1c * edges.z[:, 1:2])  # (E, 3)
     rows = jnp.concatenate(
         [
             jax.lax.stop_gradient(b0c),
@@ -944,6 +1012,155 @@ def edge_pass_tiled_pallas(
         error_mode=cfg.error_mode, interpret=interpret,
     )
     out_pad = edge_pass_pallas(kcfg, table_tile, buf_pad, z_pad, obs_pad, counts.astype(jnp.int32)[None, :])
+    if cfg.error_mode:
+        out = out_pad[0, :height, :width]
+    else:
+        out = jnp.moveaxis(out_pad, 0, -1)[:height, :width, :]
+    return out, jnp.max(counts)
+
+
+class EdgeTexPlan(NamedTuple):
+    """Static plan for the Pallas textured edge pass.
+
+    ``win_h``/``win_w`` bound every segment's bilinear texture taps (band uv
+    lies on the segment [uv0, uv1]); edges whose uv span exceeds the window
+    are pre-split into ≤ ``n_split`` collinear segments of uv length ≤
+    ``uv_segment_length`` and the active segments compacted to
+    ``seg_capacity`` slots (splitting a band lengthwise is exact: the
+    transparency ramp is a line distance and every attribute is affine
+    along the edge).
+    """
+
+    win_h: int = 16
+    win_w: int = 16
+    n_split: int = 1
+    seg_capacity: int = 0  # 0 = no compaction (segments == edges)
+    uv_segment_length: float = 12.0
+
+
+def edge_pass_tiled_pallas_tex(
+    cfg: EdgeAAConfig,
+    buffer: jnp.ndarray,
+    edges: EdgeData,
+    texture: jnp.ndarray,
+    z_buffer: jnp.ndarray,
+    obs,
+    tiling: TilingConfig,
+    tex_plan: EdgeTexPlan,
+    interpret: bool = False,
+):
+    """Pallas-kernel edge-overdraw pass for textured (and mixed) scenes.
+
+    Replaces the sequential per-edge scan (`edge_overdraw_pass[_windowed]`)
+    with the per-tile VMEM painter loop: per-edge texture *windows* are
+    gathered differentiably here (their autodiff transpose is the
+    scatter-add back into the atlas), uv/shade are folded into affine
+    (x, y, 1) coefficient rows, and the kernel samples the windows with
+    soft-one-hot MXU contractions (see
+    deodr_tpu/ops/pallas/edge_tex_kernel.py). Equivalent of the reference's
+    textured-Gouraud edge rasterizers and adjoints (reference:
+    C++/DifferentiableRenderer.h:1781-2064, :2066-2368).
+    Returns (buffer, max_bin_count).
+    """
+    from deodr_tpu.ops.pallas.edge_tex_kernel import (
+        PallasEdgeTexConfig,
+        edge_pass_pallas_tex,
+        tex_row_width,
+    )
+
+    height, width = cfg.height, cfg.width
+    th, tw = tiling.tile_h, tiling.tile_w
+    n_ty = -(-height // th)
+    n_tx = -(-width // tw)
+    sigma = cfg.sigma
+    dtype = buffer.dtype
+    c = edges.attrs.shape[-1]
+    texh, texw = texture.shape[0], texture.shape[1]
+
+    if tex_plan.n_split > 1:
+        edges = split_edges(edges, tex_plan.n_split, None, uv_segment_length=tex_plan.uv_segment_length)
+        if tex_plan.seg_capacity:
+            edges = compact_active_edges(edges, tex_plan.seg_capacity)
+    e_n = edges.v0.shape[0]
+
+    b0c, b1c, tc, y_beg, y_end, zcoef, active = _edge_stencil_rows(cfg, edges, height)
+    v0, v1 = edges.v0, edges.v1
+
+    # --- per-edge texture windows, gathered differentiably ---
+    wh, ww = tex_plan.win_h, tex_plan.win_w
+    uv_lo = jax.lax.stop_gradient(
+        jnp.nan_to_num(jnp.floor(jnp.minimum(edges.uvs[:, 0], edges.uvs[:, 1])))
+    )  # (E, 2) (u, v)
+    toy = jnp.clip(uv_lo[:, 1], 0, max(texh - wh, 0)).astype(jnp.int32)
+    tox = jnp.clip(uv_lo[:, 0], 0, max(texw - ww, 0)).astype(jnp.int32)
+    zero_i = jnp.zeros((), jnp.int32)
+    windows = jax.vmap(
+        lambda oy, ox: jax.lax.dynamic_slice(texture, (oy, ox, zero_i), (wh, ww, texture.shape[2]))
+    )(toy, tox)  # (E, wh, ww, C)
+    windows = jnp.moveaxis(windows, -1, 1)  # (E, C, wh, ww)
+
+    # --- differentiable coefficient folds (see edge_pass_tiled_pallas) ---
+    a0 = edges.attrs[:, 0, :]
+    a1 = edges.attrs[:, 1, :]
+    acoef = b0c[:, None, :] * a0[:, :, None] + b1c[:, None, :] * a1[:, :, None]  # (E, C, 3)
+    ucoef = b0c * edges.uvs[:, 0, 0:1] + b1c * edges.uvs[:, 1, 0:1]  # (E, 3)
+    vcoef = b0c * edges.uvs[:, 0, 1:2] + b1c * edges.uvs[:, 1, 1:2]
+    lcoef = b0c * edges.shades[:, 0:1] + b1c * edges.shades[:, 1:2]
+    eid = jnp.arange(e_n, dtype=dtype)[:, None]
+    rows = jnp.concatenate(
+        [
+            jax.lax.stop_gradient(b0c),
+            jax.lax.stop_gradient(b1c),
+            tc,
+            y_beg[:, None],
+            y_end[:, None],
+            acoef.reshape(e_n, 3 * c),
+            zcoef,
+            active.astype(dtype)[:, None],
+            ucoef,
+            vcoef,
+            lcoef,
+            toy.astype(dtype)[:, None],
+            tox.astype(dtype)[:, None],
+            eid,
+            edges.use_texture.astype(dtype)[:, None],
+        ],
+        axis=1,
+    )
+    assert rows.shape[1] == tex_row_width(c)
+
+    mask = _edge_band_tile_mask(
+        jax.lax.stop_gradient(v0), jax.lax.stop_gradient(v1), sigma, active,
+        n_ty, n_tx, th, tw, height, width,
+    )
+    mask = mask & _occlusion_keep_mask(edges.z, z_buffer, n_ty, n_tx, th, tw)
+    slots, slot_valid, counts = _compact_bins(mask, tiling.edge_capacity)
+    cap = slots.shape[1]
+    table_tile = gather_rows_mm(rows, slots)  # (n_tiles, cap, W)
+    from deodr_tpu.ops.pallas.edge_kernel import _e_act
+
+    table_tile = table_tile.at[:, :, _e_act(c)].multiply(slot_valid.astype(dtype))
+    table_tile = jnp.swapaxes(table_tile, 1, 2)  # (n_tiles, W, cap)
+
+    ph, pw = n_ty * th - height, n_tx * tw - width
+    if cfg.error_mode:
+        buf_pad = jnp.pad(buffer, [(0, ph), (0, pw)])[None]
+    else:
+        buf_pad = jnp.moveaxis(jnp.pad(buffer, [(0, ph), (0, pw), (0, 0)]), -1, 0)
+    z_pad = jnp.pad(z_buffer, [(0, ph), (0, pw)], constant_values=jnp.inf)
+    if cfg.error_mode and obs is not None:
+        obs_pad = jnp.moveaxis(jnp.pad(obs, [(0, ph), (0, pw), (0, 0)]), -1, 0)
+    else:
+        obs_pad = jnp.zeros((c, n_ty * th, n_tx * tw), dtype)
+
+    kcfg = PallasEdgeTexConfig(
+        tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, nb_colors=c,
+        error_mode=cfg.error_mode, tex_h=texh, tex_w=texw, win_h=wh, win_w=ww,
+        n_edges=e_n, interpret=interpret,
+    )
+    out_pad = edge_pass_pallas_tex(
+        kcfg, table_tile, windows, buf_pad, z_pad, obs_pad, counts.astype(jnp.int32)[None, :]
+    )
     if cfg.error_mode:
         out = out_pad[0, :height, :width]
     else:

@@ -458,11 +458,15 @@ class Scene3D:
                         j0 = fuv[:, [1, 2, 0]].reshape(-1)
                         j1 = fuv[:, [0, 1, 2]].reshape(-1)
                         uspan = jnp.abs(uv[j0] - uv[j1]) * flat[:, None]
-                        stats += [uspan[:, 1].max(), uspan[:, 0].max()]
+                        # total segments at uv segment length 12 (the Pallas
+                        # textured edge kernel pre-splits long-uv edges so a
+                        # small static window bounds every segment's taps)
+                        n_seg = jnp.where(flat, jnp.maximum(jnp.ceil(jnp.max(uspan, axis=1) / 12.0), 1.0), 0.0)
+                        stats += [uspan[:, 1].max(), uspan[:, 0].max(), n_seg.sum()]
                     else:
-                        stats += [jnp.zeros(()), jnp.zeros(())]
+                        stats += [jnp.zeros(()), jnp.zeros(()), jnp.zeros(())]
                 else:
-                    stats += [jnp.zeros(())] * 5
+                    stats += [jnp.zeros(())] * 6
                 if want_tiling:
                     tri = pts[faces]
                     x_lo = jnp.clip(jnp.floor(tri[:, :, 0].min(axis=1)), 0, width - 1)
@@ -535,7 +539,7 @@ class Scene3D:
 
         tiling = None
         if want_tiling:
-            med_h = float(stats[5])
+            med_h = float(stats[6])
             if med_h <= 12:
                 tile_h = 8
             elif med_h <= 32:
@@ -544,8 +548,8 @@ class Scene3D:
                 tile_h = 64
             tile_h = min(tile_h, max(8, height))
             k = tile_h_candidates.index(tile_h)
-            tri_cap = int(stats[6 + 2 * k])
-            edge_cap = int(stats[7 + 2 * k]) if sigma > 0 else 8
+            tri_cap = int(stats[7 + 2 * k])
+            edge_cap = int(stats[8 + 2 * k]) if sigma > 0 else 8
 
             def bucket(n, margin=1.5):
                 import math
@@ -562,13 +566,51 @@ class Scene3D:
                 edge_segment_length=48.0,
             )
 
+        # Pallas textured edge pass: per-segment texture windows + uv-split
+        # plan (see deodr_tpu/ops/tiled.py::EdgeTexPlan). Long-uv silhouette
+        # edges are pre-split so a small static window bounds every
+        # segment's bilinear taps; fall back to the sequential windowed scan
+        # when the window stack would not fit comfortably in VMEM.
+        aa_tex_plan = None
+        if (
+            sigma > 0
+            and cap is not None
+            and int(stats[0]) > 0
+            and for_pallas
+            and tiling is not None
+            and mesh.texture is not None
+            and mesh.uv is not None
+        ):
+            from deodr_tpu.ops.tiled import EdgeTexPlan
+
+            tex_h, tex_w = mesh.texture.shape[0], mesh.texture.shape[1]
+            span = float(max(stats[3], stats[4]))
+            pow2 = lambda n, lo: max(lo, int(2 ** np.ceil(np.log2(max(int(n), 1)))))
+            if span <= 12.0:
+                kwh = min(pow2(span + 4, 8), tex_h)
+                kww = min(pow2(span + 4, 8), tex_w)
+                n_split, seg_cap = 1, 0
+                n_windows = cap
+            else:
+                kwh, kww = min(16, tex_h), min(16, tex_w)
+                n_split = pow2(np.ceil(span / 12.0), 2)
+                seg_cap = pow2(np.ceil(float(stats[5]) * 1.25), cap)
+                n_windows = seg_cap
+            nb_c = mesh.texture.shape[2] if mesh.texture.ndim == 3 else 1
+            vmem_bytes = 2 * n_windows * nb_c * kwh * kww * 4
+            if vmem_bytes <= 32 << 20:
+                aa_tex_plan = EdgeTexPlan(
+                    win_h=kwh, win_w=kww, n_split=n_split,
+                    seg_capacity=seg_cap, uv_segment_length=12.0,
+                )
+
         # plan hysteresis: keep the previous plan while it still FITS the
         # fresh requirements and is not >4x overprovisioned — evolving
         # geometry otherwise flips bucketed sizes between adjacent powers
         # of two, recompiling the render on every flip
         last = cache.get(("last_plan",) + plan_key)
         if last is not None:
-            l_cap, l_tiling, l_win, l_texwin = last
+            l_cap, l_tiling, l_win, l_texwin, l_texplan = last
             if cap is not None and l_cap is not None and sigma > 0 and int(stats[0]) <= l_cap <= 4 * max(cap, 8):
                 cap = l_cap
             if (
@@ -596,8 +638,22 @@ class Scene3D:
                 and aa_tex_window[1] <= l_texwin[1] <= 4 * aa_tex_window[1]
             ):
                 aa_tex_window = l_texwin
-        cache[("last_plan",) + plan_key] = (cap, tiling, aa_window, aa_tex_window)
-        return cap, tiling, aa_window, aa_tex_window
+            if (
+                aa_tex_plan is not None
+                and l_texplan is not None
+                and aa_tex_plan.win_h <= l_texplan.win_h <= 4 * aa_tex_plan.win_h
+                and aa_tex_plan.win_w <= l_texplan.win_w <= 4 * aa_tex_plan.win_w
+                and aa_tex_plan.n_split <= l_texplan.n_split <= 4 * max(aa_tex_plan.n_split, 1)
+                and (
+                    aa_tex_plan.seg_capacity
+                    <= l_texplan.seg_capacity
+                    <= 4 * max(aa_tex_plan.seg_capacity, 8)
+                    or (aa_tex_plan.seg_capacity == 0 and l_texplan.seg_capacity == 0)
+                )
+            ):
+                aa_tex_plan = l_texplan
+        cache[("last_plan",) + plan_key] = (cap, tiling, aa_window, aa_tex_window, aa_tex_plan)
+        return cap, tiling, aa_window, aa_tex_window, aa_tex_plan
 
     def _camera_key(self, camera: Camera):
         dist = b"" if camera.distortion is None else camera.distortion.tobytes()
@@ -624,7 +680,7 @@ class Scene3D:
         )
 
     def _render_config(self, camera, backface_culling, depth_only_scale):
-        cap, tiling, aa_window, aa_tex_window = self._eager_plan(camera)
+        cap, tiling, aa_window, aa_tex_window, aa_tex_plan = self._eager_plan(camera)
         inputs = self._diff_inputs(depth_only_scale is not None)
         key = (
             self.impl,
@@ -637,6 +693,7 @@ class Scene3D:
             tiling,
             aa_window,
             aa_tex_window,
+            aa_tex_plan,
             backface_culling,
             depth_only_scale,
             tuple(None if x is None else x.shape for x in inputs),
@@ -653,7 +710,7 @@ class Scene3D:
                 impl_arg = None if self.impl in (None, "auto", "brute") else self.impl
                 image, z_buffer, _ = render_scene(
                     buffers, float(self.sigma), aa_edge_capacity=cap, tiling=tiling, impl=impl_arg,
-                    aa_window=aa_window, aa_tex_window=aa_tex_window,
+                    aa_window=aa_window, aa_tex_window=aa_tex_window, aa_tex_plan=aa_tex_plan,
                 )
                 return image, z_buffer
 
