@@ -402,11 +402,13 @@ class Scene3D:
         )
         return buffers, depths
 
-    def _eager_plan(self, camera):
+    def _eager_plan(self, camera, backface_culling: bool = True):
         """Eagerly (one cheap projection) pick the static render plan for
         this view: the silhouette-edge capacity (rounded to a power of two
         for jit-key stability) and, for large meshes, a tiling config with
-        occupancy-derived bin capacities."""
+        occupancy-derived bin capacities (counting only triangles the
+        renderer will draw — culled faces inflate capacities ~4x and every
+        per-tile table cost scales with them)."""
         mesh = self.mesh
         from deodr_tpu.ops.render import default_impl
         from deodr_tpu.ops.tiled import TilingConfig, _edge_band_tile_mask
@@ -425,21 +427,22 @@ class Scene3D:
         # tunnel costs ~57 ms regardless of size, so the eager ops /
         # array transfers this used to do dominated the whole render call
         def make_plan_fn():
-            def occupancy(x_lo, x_hi, y_lo, y_hi, n_ty, n_tx, th, tw):
+            def occupancy(x_lo, x_hi, y_lo, y_hi, ok, n_ty, n_tx, th, tw):
+                okf = ok.astype(jnp.float32)
                 ty0 = jnp.clip(y_lo // th, 0, n_ty - 1).astype(jnp.int32)
                 ty1 = jnp.clip(y_hi // th, 0, n_ty - 1).astype(jnp.int32)
                 tx0 = jnp.clip(x_lo // tw, 0, n_tx - 1).astype(jnp.int32)
                 tx1 = jnp.clip(x_hi // tw, 0, n_tx - 1).astype(jnp.int32)
                 delta = jnp.zeros((n_ty + 1, n_tx + 1))
-                delta = delta.at[ty0, tx0].add(1.0)
-                delta = delta.at[ty1 + 1, tx0].add(-1.0)
-                delta = delta.at[ty0, tx1 + 1].add(-1.0)
-                delta = delta.at[ty1 + 1, tx1 + 1].add(1.0)
+                delta = delta.at[ty0, tx0].add(okf)
+                delta = delta.at[ty1 + 1, tx0].add(-okf)
+                delta = delta.at[ty0, tx1 + 1].add(-okf)
+                delta = delta.at[ty1 + 1, tx1 + 1].add(okf)
                 counts = jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
                 return counts.max()
 
             def f(vertices):
-                points_2d, _ = camera.project_points(jax.lax.stop_gradient(vertices))
+                points_2d, depths = camera.project_points(jax.lax.stop_gradient(vertices))
                 pts = points_2d - offset
                 faces = jnp.asarray(mesh.faces)
                 stats = []
@@ -469,6 +472,17 @@ class Scene3D:
                     stats += [jnp.zeros(())] * 6
                 if want_tiling:
                     tri = pts[faces]
+                    # count only triangles the renderer will draw: the same
+                    # cull predicate as ops.render._culling (behind-camera
+                    # and, when enabled, backfacing triangles never rasterize
+                    # and would inflate every per-tile capacity)
+                    u_e = tri[:, 1, :] - tri[:, 0, :]
+                    w_e = tri[:, 2, :] - tri[:, 0, :]
+                    raw = 0.5 * (u_e[:, 0] * w_e[:, 1] - w_e[:, 0] * u_e[:, 1])
+                    area = raw if mesh.clockwise else -raw
+                    drawn = jnp.all(depths[faces] >= 0, axis=1)
+                    if backface_culling:
+                        drawn = drawn & (area > 0)
                     x_lo = jnp.clip(jnp.floor(tri[:, :, 0].min(axis=1)), 0, width - 1)
                     x_hi = jnp.clip(jnp.floor(tri[:, :, 0].max(axis=1)), 0, width - 1)
                     y_lo = jnp.clip(jnp.floor(tri[:, :, 1].min(axis=1)), 0, height - 1)
@@ -480,7 +494,7 @@ class Scene3D:
                     for th in tile_h_candidates:
                         n_ty = -(-height // th)
                         n_tx = -(-width // tile_w)
-                        stats.append(occupancy(x_lo, x_hi, y_lo, y_hi, n_ty, n_tx, th, tile_w))
+                        stats.append(occupancy(x_lo, x_hi, y_lo, y_hi, drawn, n_ty, n_tx, th, tile_w))
                         if sigma > 0:
                             m = _edge_band_tile_mask(
                                 p0.astype(jnp.float32), p1.astype(jnp.float32), sigma,
@@ -494,7 +508,7 @@ class Scene3D:
             return jax.jit(f)
 
         plan_key = ("plan", self._camera_key(camera), id(self.mesh), self.mesh.nb_vertices,
-                    self.mesh.nb_faces, sigma, want_tiling, for_pallas)
+                    self.mesh.nb_faces, sigma, want_tiling, for_pallas, backface_culling)
         cache = self.__dict__.setdefault("_jit_cache", {})
         # unchanged vertices → identical stats: reuse the previous result
         # (the fetch itself costs a full device roundtrip)
@@ -680,7 +694,7 @@ class Scene3D:
         )
 
     def _render_config(self, camera, backface_culling, depth_only_scale):
-        cap, tiling, aa_window, aa_tex_window, aa_tex_plan = self._eager_plan(camera)
+        cap, tiling, aa_window, aa_tex_window, aa_tex_plan = self._eager_plan(camera, backface_culling)
         inputs = self._diff_inputs(depth_only_scale is not None)
         key = (
             self.impl,
