@@ -36,6 +36,12 @@ class TilingConfig(NamedTuple):
     tile_w: int = 64
     triangle_capacity: int = 64
     edge_capacity: int = 32
+    # the edge passes may use a different (usually taller) tile height than
+    # the solid pass: thin AA bands span most of a tall tile anyway, so
+    # taller tiles mean fewer slot visits and less per-tile fixed cost,
+    # while small triangles want short tiles in the solid pass. 0 = same
+    # as tile_h. edge_capacity is sized for THIS tile height.
+    edge_tile_h: int = 0
     # long silhouette edges are chopped into ≤ edge_split collinear segments
     # before binning: segment bands have tight bounding boxes, cutting the
     # wasted coverage of long diagonal bands (the blend result is identical —
@@ -526,7 +532,8 @@ def edge_pass_tiled(
     Returns (buffer, max_bin_count).
     """
     height, width = cfg.height, cfg.width
-    th, tw = tiling.tile_h, tiling.tile_w
+    th = tiling.edge_tile_h or tiling.tile_h
+    tw = tiling.tile_w
     n_ty = -(-height // th)
     n_tx = -(-width // tw)
     sigma = cfg.sigma
@@ -945,7 +952,8 @@ def edge_pass_tiled_pallas(
     )
 
     height, width = cfg.height, cfg.width
-    th, tw = tiling.tile_h, tiling.tile_w
+    th = tiling.edge_tile_h or tiling.tile_h
+    tw = tiling.tile_w
     n_ty = -(-height // th)
     n_tx = -(-width // tw)
     sigma = cfg.sigma
@@ -1069,7 +1077,8 @@ def edge_pass_tiled_pallas_tex(
     )
 
     height, width = cfg.height, cfg.width
-    th, tw = tiling.tile_h, tiling.tile_w
+    th = tiling.edge_tile_h or tiling.tile_h
+    tw = tiling.tile_w
     n_ty = -(-height // th)
     n_tx = -(-width // tw)
     sigma = cfg.sigma

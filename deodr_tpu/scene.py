@@ -563,7 +563,12 @@ class Scene3D:
             tile_h = min(tile_h, max(8, height))
             k = tile_h_candidates.index(tile_h)
             tri_cap = int(stats[7 + 2 * k])
-            edge_cap = int(stats[8 + 2 * k]) if sigma > 0 else 8
+            # the edge passes can use their own tile height (TilingConfig.
+            # edge_tile_h); measured on the duck, matching the solid pass's
+            # height is fastest (short bands), so keep them equal by default
+            edge_tile_h = 0
+            ek = tile_h_candidates.index(edge_tile_h) if edge_tile_h else k
+            edge_cap = int(stats[8 + 2 * ek]) if sigma > 0 else 8
 
             def bucket(n, margin=1.5):
                 import math
@@ -578,6 +583,7 @@ class Scene3D:
                 edge_capacity=bucket(edge_cap),
                 edge_split=1,
                 edge_segment_length=48.0,
+                edge_tile_h=edge_tile_h,
             )
 
         # Pallas textured edge pass: per-segment texture windows + uv-split
@@ -632,6 +638,7 @@ class Scene3D:
                 and l_tiling is not None
                 and l_tiling.tile_h == tiling.tile_h
                 and l_tiling.tile_w == tiling.tile_w
+                and l_tiling.edge_tile_h == tiling.edge_tile_h
                 and tri_cap <= l_tiling.triangle_capacity <= 4 * tiling.triangle_capacity
                 and edge_cap <= l_tiling.edge_capacity <= 4 * tiling.edge_capacity
             ):
