@@ -183,11 +183,15 @@ def _fwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
             X = X0 * (1.0 - eu) + X1 * eu
             Y = Y0 * (1.0 - ev) + Y1 * ev
             lum = _affine_plane(row(_e_lc(c)), row(_e_lc(c) + 1), row(_e_lc(c) + 2), yrow, xx)
+            # window stack layout (C·wh, ww): repack to (wh, C·ww) with
+            # static slices and contract ALL channels in ONE MXU issue —
+            # the per-slot loop is matmul-latency bound, not MAC bound
+            t2 = wins_ref[eid]
+            t3 = jnp.concatenate([t2[ch * cfg.win_h : (ch + 1) * cfg.win_h] for ch in range(c)], axis=1)
+            w3 = _dotT(t3, Y)  # (C·win_w, P)
             planes = []
             for ch in range(c):
-                t_win = wins_ref[eid, ch]
-                w = _dotT(t_win, Y)  # (win_w, P)
-                sval = jnp.sum(X * w, axis=0, keepdims=True)  # (1, P)
+                sval = jnp.sum(X * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
                 planes.append(sval.reshape(th, tw) * lum)
             return tuple(planes)
 
@@ -256,14 +260,15 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
             Xd = X1 - X0
             Yd = Y1 - Y0
             lum = _affine_plane(row(_e_lc(c)), row(_e_lc(c) + 1), row(_e_lc(c) + 2), yrow, xx)
+            # batched-channel contractions (see forward)
+            t2 = wins_ref[eid]  # (C·wh, ww)
+            t3 = jnp.concatenate([t2[ch * cfg.win_h : (ch + 1) * cfg.win_h] for ch in range(c)], axis=1)
+            w3 = _dotT(t3, Y)  # (C·ww, P)
+            v3 = _dotN(t2, X)  # (C·wh, P)
             svals = []
             a = []
-            ws = []
             for ch in range(c):
-                t_win = wins_ref[eid, ch]
-                w = _dotT(t_win, Y)  # (win_w, P)
-                sval = jnp.sum(X * w, axis=0, keepdims=True)  # (1, P)
-                ws.append((t_win, w))
+                sval = jnp.sum(X * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
                 svals.append(sval)
                 a.append(sval.reshape(th, tw) * lum)
 
@@ -301,20 +306,21 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
                 new_bufs = tuple(new_bufs)
                 new_gbufs = tuple(new_gbufs)
 
+            yg = []
             for ch in range(c):
-                t_win, w = ws[ch]
                 g_lum = g_lum + g_a[ch] * svals[ch].reshape(th, tw)
                 gs_p = (g_a[ch] * lum).reshape(1, p_n)  # d/d sval
-                # texture-window gradient: (Y ∘ gs) @ Xᵀ, accumulated per edge
-                gwins_ref[eid, ch] += jax.lax.dot_general(
-                    Y * gs_p, X, (((1,), (1,)), ((), ())),
-                    preferred_element_type=dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                yg.append(Y * gs_p)
                 # uv gradients: dval/du = Σ_c dX·W, dval/dv = Σ_r dY·(T @ X)
-                gu_p = gu_p + gs_p * jnp.sum(Xd * w, axis=0, keepdims=True)
-                v_ch = _dotN(t_win, X)  # (win_h, P)
-                gv_p = gv_p + gs_p * jnp.sum(Yd * v_ch, axis=0, keepdims=True)
+                gu_p = gu_p + gs_p * jnp.sum(Xd * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
+                gv_p = gv_p + gs_p * jnp.sum(Yd * v3[ch * cfg.win_h : (ch + 1) * cfg.win_h], axis=0, keepdims=True)
+            # texture-window gradient for all channels in one contraction:
+            # (Y ∘ gs)·Xᵀ rows stacked channel-major, accumulated per edge
+            gwins_ref[eid] += jax.lax.dot_general(
+                jnp.concatenate(yg, axis=0), X, (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
             gu = (gu_p * gate_u).reshape(th, tw)
             gv = (gv_p * gate_v).reshape(th, tw)
@@ -399,7 +405,7 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def edge_pass_pallas_tex(cfg: PallasEdgeTexConfig, table_tile, windows, buffer0, z_buffer, obs, counts):
-    """table_tile (n_tiles, W, cap); windows (E, C, wh, ww); buffer0
+    """table_tile (n_tiles, W, cap); windows (E, C·wh, ww) channel-major; buffer0
     (nch, H', W'); z_buffer (H', W'); obs (C, H', W'); counts (1, n_tiles)
     int32 → blended buffer (nch, H', W').
 
@@ -423,7 +429,7 @@ def _tex_fwd_call(cfg, table_tile, windows, buffer0, z_buffer, obs, counts):
         in_specs=[
             pl.BlockSpec((1, cfg.n_ty * cfg.n_tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ew, cap), tile_idx, memory_space=pltpu.SMEM),
-            pl.BlockSpec((cfg.n_edges, c, cfg.win_h, cfg.win_w), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_edges, c * cfg.win_h, cfg.win_w), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -461,7 +467,7 @@ def _tex_bwd(cfg, residuals, g_out):
         in_specs=[
             pl.BlockSpec((1, cfg.n_ty * cfg.n_tx), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ew, cap), tile_idx, memory_space=pltpu.SMEM),
-            pl.BlockSpec((cfg.n_edges, c, cfg.win_h, cfg.win_w), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_edges, c * cfg.win_h, cfg.win_w), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
@@ -470,7 +476,7 @@ def _tex_bwd(cfg, residuals, g_out):
         out_specs=[
             pl.BlockSpec((1, cap, gw), tile_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.n_edges, c, cfg.win_h, cfg.win_w), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_edges, c * cfg.win_h, cfg.win_w), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((cfg.n_ty * cfg.n_tx, cap, gw), dtype),

@@ -36,6 +36,9 @@ class TilingConfig(NamedTuple):
     tile_w: int = 64
     triangle_capacity: int = 64
     edge_capacity: int = 32
+    # 0 = no compaction; else drawn (non-culled) triangles are compacted to
+    # this static capacity before binning (see rasterize_tiled_pallas)
+    drawn_capacity: int = 0
     # the edge passes may use a different (usually taller) tile height than
     # the solid pass: thin AA bands span most of a tall tile anyway, so
     # taller tiles mean fewer slot visits and less per-tile fixed cost,
@@ -428,11 +431,34 @@ def rasterize_tiled(
     dtype = ij_off.dtype
     has_texture = scene.texture is not None
 
+    faces, faces_uv = scene.faces, scene.faces_uv
+    textured, shaded = scene.textured, scene.shaded
+    if tiling.drawn_capacity:
+        # index-level compaction of drawn triangles: culled faces are often
+        # half the mesh, and every downstream cost — the (n_tiles, N) bin
+        # mask, its prefix counts and one-hot contraction, the setup/affine
+        # row builds — scales with N
+        t_all = faces.shape[0]
+        dcap = min(tiling.drawn_capacity, t_all)
+        drawf = draw.astype(jnp.float32)
+        rank = (jnp.cumsum(drawf) - drawf).astype(jnp.int32)
+        ks = jnp.arange(dcap, dtype=jnp.int32)
+        onehot = ((rank[:, None] == ks[None, :]) & draw[:, None]).astype(jnp.float32)
+        perm = jnp.einsum(
+            "nk,n->k", onehot, jnp.arange(t_all, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
+        got = jnp.sum(onehot, axis=0) > 0.5
+        faces = faces[perm]
+        faces_uv = faces_uv[perm]
+        textured = textured[perm]
+        shaded = shaded[perm]
+        draw = draw[perm] & got
+
     # gather_rows_mm: gathers whose VJP is an MXU one-hot contraction
     # instead of a TPU scatter-add (the scatters were the hottest XLA
     # fusions in the fwd+bwd profile)
-    v_xy = gather_rows_mm(ij_off, scene.faces)
-    v_z = scene.depths[scene.faces]
+    v_xy = gather_rows_mm(ij_off, faces)
+    v_z = scene.depths[faces]
     persp = scene.perspective_correct
 
     setup = triangle_row_setup(
@@ -588,20 +614,25 @@ def edge_pass_tiled(
     return out[:height, :width], jnp.max(counts)
 
 
-def _affine_attribute_maps(scene, v_xy, v_z):
+def _affine_attribute_maps(scene, v_xy, v_z, faces=None, faces_uv=None, textured=None, shaded=None):
     """Differentiable per-triangle affine attribute maps (T, D, 3) with the
     attribute order [colors (C), uv (2), shade (1) if textured][, 1/z if
-    perspective][, textured-flag]; see rasterize_tiled."""
+    perspective][, textured-flag]; see rasterize_tiled. ``faces``/... allow
+    a caller to pass a compacted triangle subset (default: all of scene's)."""
     from deodr_tpu.ops.common import safe_barycentric_matrices
 
+    faces = scene.faces if faces is None else faces
+    faces_uv = scene.faces_uv if faces_uv is None else faces_uv
+    textured = scene.textured if textured is None else textured
+    shaded = scene.shaded if shaded is None else shaded
     dtype = v_xy.dtype
     persp = scene.perspective_correct
     has_texture = scene.texture is not None
     xy1_to_bary, _ = safe_barycentric_matrices(v_xy)
-    corner_list = [gather_rows_mm(scene.colors, scene.faces)]
+    corner_list = [gather_rows_mm(scene.colors, faces)]
     if has_texture:
-        corner_list.append(gather_rows_mm(scene.uv, scene.faces_uv))
-        corner_list.append(gather_rows_mm(scene.shade[:, None], scene.faces))
+        corner_list.append(gather_rows_mm(scene.uv, faces_uv))
+        corner_list.append(gather_rows_mm(scene.shade[:, None], faces))
     corner = jnp.concatenate(corner_list, axis=-1)
     if persp:
         corner = corner / v_z[..., None]
@@ -610,7 +641,7 @@ def _affine_attribute_maps(scene, v_xy, v_z):
         z_row = jnp.einsum("tk,tkj->tj", 1.0 / v_z, xy1_to_bary, precision=jax.lax.Precision.HIGHEST)[:, None, :]
         affine = jnp.concatenate([affine, z_row], axis=1)
     if has_texture:
-        flagv = (scene.textured & scene.shaded).astype(dtype)
+        flagv = (textured & shaded).astype(dtype)
         zero = jnp.zeros_like(flagv)
         flag_row = jnp.stack([zero, zero, flagv], axis=-1)[:, None, :]
         affine = jnp.concatenate([affine, flag_row], axis=1)
@@ -682,11 +713,34 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     n_tx = -(-width // tw)
     dtype = ij_off.dtype
 
+    faces, faces_uv = scene.faces, scene.faces_uv
+    textured, shaded = scene.textured, scene.shaded
+    if tiling.drawn_capacity:
+        # index-level compaction of drawn triangles: culled faces are often
+        # half the mesh, and every downstream cost — the (n_tiles, N) bin
+        # mask, its prefix counts and one-hot contraction, the setup/affine
+        # row builds — scales with N
+        t_all = faces.shape[0]
+        dcap = min(tiling.drawn_capacity, t_all)
+        drawf = draw.astype(jnp.float32)
+        rank = (jnp.cumsum(drawf) - drawf).astype(jnp.int32)
+        ks = jnp.arange(dcap, dtype=jnp.int32)
+        onehot = ((rank[:, None] == ks[None, :]) & draw[:, None]).astype(jnp.float32)
+        perm = jnp.einsum(
+            "nk,n->k", onehot, jnp.arange(t_all, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
+        ).astype(jnp.int32)
+        got = jnp.sum(onehot, axis=0) > 0.5
+        faces = faces[perm]
+        faces_uv = faces_uv[perm]
+        textured = textured[perm]
+        shaded = shaded[perm]
+        draw = draw[perm] & got
+
     # gather_rows_mm: gathers whose VJP is an MXU one-hot contraction
     # instead of a TPU scatter-add (the scatters were the hottest XLA
     # fusions in the fwd+bwd profile)
-    v_xy = gather_rows_mm(ij_off, scene.faces)
-    v_z = scene.depths[scene.faces]
+    v_xy = gather_rows_mm(ij_off, faces)
+    v_z = scene.depths[faces]
     persp = scene.perspective_correct
 
     setup = triangle_row_setup(
@@ -706,7 +760,7 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     # SMEM row to ~1 KiB) — see raster_kernel module docstring
     setup_tile = jnp.swapaxes(setup_tile, 1, 2)  # (n_tiles, 22, cap)
 
-    affine = _affine_attribute_maps(scene, v_xy, v_z)  # (T, D, 3)
+    affine = _affine_attribute_maps(scene, v_xy, v_z, faces, faces_uv, textured, shaded)  # (T, D, 3)
     d_total = affine.shape[1]
     # kernel layout: [x-coeffs D | y-coeffs D | const D]
     affine_g = jnp.swapaxes(affine, 1, 2).reshape(affine.shape[0], 3 * d_total)
@@ -1115,7 +1169,8 @@ def edge_pass_tiled_pallas_tex(
     row_stack = row_stack.reshape(texh * texw, ww * nb_c)
     row_idx = (toy[:, None] + jnp.arange(wh, dtype=jnp.int32)[None, :]) * texw + tox[:, None]
     windows = row_stack[row_idx].reshape(e_n, wh, ww, nb_c)  # (E, wh, ww, C)
-    windows = jnp.moveaxis(windows, -1, 1)  # (E, C, wh, ww)
+    # kernel layout: channel-major row stacking (E, C·wh, ww)
+    windows = jnp.moveaxis(windows, -1, 1).reshape(e_n, nb_c * wh, ww)
 
     # --- differentiable coefficient folds (see edge_pass_tiled_pallas) ---
     a0 = edges.attrs[:, 0, :]

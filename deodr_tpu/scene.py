@@ -503,6 +503,7 @@ class Scene3D:
                             stats.append(m.sum(axis=1).max())
                         else:
                             stats.append(jnp.zeros(()))
+                    stats.append(drawn.sum())
                 return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
 
             return jax.jit(f)
@@ -529,7 +530,9 @@ class Scene3D:
         aa_tex_window = None
         if sigma > 0:
             count = int(stats[0])
-            bucket = int(2 ** np.ceil(np.log2(max(count, 8))))
+            # multiple-of-64 rounding with margin: pow2 buckets overshoot
+            # ~1.6x on average and every per-edge setup cost scales with cap
+            bucket = max(64, -(-int(count * 1.25) // 64) * 64)
             cap = min(3 * mesh.nb_faces, bucket)
             if count > 0:
                 # static window bounding the largest silhouette band (edge
@@ -576,11 +579,15 @@ class Scene3D:
                 n = max(1, int(math.ceil(n * margin)))
                 return max(8, int(2 ** math.ceil(math.log2(n))))
 
+            n_drawn = int(stats[7 + 2 * len(tile_h_candidates)])
             tiling = TilingConfig(
                 tile_h=tile_h,
                 tile_w=tile_w,
                 triangle_capacity=bucket(tri_cap),
                 edge_capacity=bucket(edge_cap),
+                # multiple-of-256 rounding: a pow2 bucket would round a
+                # half-culled mesh right back up to the full size
+                drawn_capacity=(min(-(-int(n_drawn * 1.2) // 256) * 256, mesh.nb_faces) if for_pallas else 0),
                 edge_split=1,
                 edge_segment_length=48.0,
                 edge_tile_h=edge_tile_h,
@@ -614,7 +621,7 @@ class Scene3D:
             else:
                 kwh, kww = min(16, tex_h), min(16, tex_w)
                 n_split = pow2(np.ceil(span / 12.0), 2)
-                seg_cap = pow2(np.ceil(float(stats[5]) * 1.25), cap)
+                seg_cap = max(64, -(-int(float(stats[5]) * 1.2) // 64) * 64)
                 n_windows = seg_cap
             nb_c = mesh.texture.shape[2] if mesh.texture.ndim == 3 else 1
             vmem_bytes = 2 * n_windows * nb_c * kwh * kww * 4
@@ -641,6 +648,10 @@ class Scene3D:
                 and l_tiling.edge_tile_h == tiling.edge_tile_h
                 and tri_cap <= l_tiling.triangle_capacity <= 4 * tiling.triangle_capacity
                 and edge_cap <= l_tiling.edge_capacity <= 4 * tiling.edge_capacity
+                and (
+                    (tiling.drawn_capacity == 0 and l_tiling.drawn_capacity == 0)
+                    or n_drawn <= l_tiling.drawn_capacity <= 4 * max(tiling.drawn_capacity, 8)
+                )
             ):
                 tiling = l_tiling
             if (
