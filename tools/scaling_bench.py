@@ -88,6 +88,12 @@ def main(height=128, width=128, n_subdiv=3, iters=20):
         iter_ms.append((time.time() - t0) / iters * 1e3)
 
     eff = [iter_ms[0] / t for t in iter_ms]
+    # on a virtual CPU mesh all "devices" share the same host cores, so
+    # weak-scaling efficiency measures core contention, not ICI; the
+    # meaningful CPU-mesh metric is the sharded step's cost relative to N
+    # serialized single-view steps (<= 1.0 means the mesh/collective
+    # machinery adds no overhead over running the views one by one)
+    vs_serialized = [t / (n * iter_ms[0]) for n, t in zip(counts, iter_ms)]
     print(
         json.dumps(
             {
@@ -95,6 +101,7 @@ def main(height=128, width=128, n_subdiv=3, iters=20):
                 "devices": counts,
                 "iter_ms": [round(t, 2) for t in iter_ms],
                 "efficiency": [round(e, 3) for e in eff],
+                "vs_serialized": [round(v, 3) for v in vs_serialized],
             }
         )
     )
