@@ -310,32 +310,31 @@ def _build_edge_data(
 
     tri = jnp.repeat(order, 3)  # (3T,)
     slot = jnp.tile(jnp.arange(3), nt)
-    sub0 = jnp.array([1, 2, 0])[slot]
-    sub1 = jnp.array([0, 1, 2])[slot]
-
-    i0 = scene.faces[tri, sub0]
-    i1 = scene.faces[tri, sub1]
-    iuv0 = scene.faces_uv[tri, sub0]
-    iuv1 = scene.faces_uv[tri, sub1]
-
     active = scene.edgeflags[tri, slot] & (signed_area_v[tri] > 0)
-    use_texture = scene.textured[tri] & scene.shaded[tri]
 
     if aa_edge_capacity is not None and aa_edge_capacity < 3 * nt:
         # sort-free compaction: prefix-count ranks + one-hot contraction keep
         # active edges in depth order while moving them to the front. Done on
-        # the (integer, non-differentiable) index level BEFORE any endpoint
-        # feature gathers, so the differentiable gathers below are both fewer
-        # and capacity-sized.
+        # the (integer, non-differentiable) index level BEFORE any other
+        # gather — TPU gathers cost ~13 cycles per row, so every per-slot
+        # array derived below is capacity-sized instead of 3·T-sized.
         activef = active.astype(jnp.float32)
         rank = (jnp.cumsum(activef) - activef).astype(jnp.int32)
         ks = jnp.arange(aa_edge_capacity, dtype=jnp.int32)
         onehot = ((rank[:, None] == ks[None, :]) & active[:, None]).astype(jnp.float32)
         perm = jnp.einsum("nk,n->k", onehot, jnp.arange(3 * nt, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
         got = jnp.sum(onehot, axis=0) > 0.5
-        i0, i1, iuv0, iuv1 = i0[perm], i1[perm], iuv0[perm], iuv1[perm]
+        tri = order[perm // 3]
+        slot = perm % 3
         active = active[perm] & got
-        use_texture = use_texture[perm]
+
+    sub0 = jnp.array([1, 2, 0])[slot]
+    sub1 = jnp.array([0, 1, 2])[slot]
+    i0 = scene.faces[tri, sub0]
+    i1 = scene.faces[tri, sub1]
+    iuv0 = scene.faces_uv[tri, sub0]
+    iuv1 = scene.faces_uv[tri, sub1]
+    use_texture = scene.textured[tri] & scene.shaded[tri]
 
     # ONE feature-matrix gather per endpoint (positions+depth+colors+shade
     # stacked as columns) with a matmul adjoint: the per-array gathers this
