@@ -325,11 +325,10 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
             gu = (gu_p * gate_u).reshape(th, tw)
             gv = (gv_p * gate_v).reshape(th, tw)
             # per-slot gradient rows (sublane partials; lanes reduced once
-            # per tile after the loop, like the untextured kernel)
-            for ch in range(c):
-                scratch_ref[k, 3 + 3 * ch, :] = jnp.zeros((tw,), dtype)
-                scratch_ref[k, 4 + 3 * ch, :] = jnp.zeros((tw,), dtype)
-                scratch_ref[k, 5 + 3 * ch, :] = jnp.zeros((tw,), dtype)
+            # per tile after the loop, like the untextured kernel). The g_a
+            # rows are NOT zeroed here: they hold stale values from other
+            # slots/tiles, and the XLA wrapper masks each slot's gradient
+            # columns by its use_texture flag.
             base = 3 + 3 * c
             scratch_ref[k, base + 0, :] = jnp.sum(gu * xx, axis=0)
             scratch_ref[k, base + 1, :] = jnp.sum(gu * yrow, axis=0)
@@ -385,9 +384,7 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
                     new_gbufs.append(jnp.where(mask, t * g_out, g_out))
                 new_bufs = tuple(new_bufs)
                 new_gbufs = tuple(new_gbufs)
-            base = 3 + 3 * c
-            for j in range(9):
-                scratch_ref[k, base + j, :] = jnp.zeros((tw,), dtype)
+            # uv/lum rows left stale (masked by ~use_texture in the wrapper)
             scratch_ref[k, 0, :] = jnp.sum(g_t * xx, axis=0)
             scratch_ref[k, 1, :] = jnp.sum(g_t * yrow, axis=0)
             scratch_ref[k, 2, :] = jnp.sum(g_t, axis=0)
@@ -491,6 +488,16 @@ def _tex_bwd(cfg, residuals, g_out):
     ks = jnp.arange(cap, dtype=jnp.int32)
     row_valid = ks[None, :] < jnp.minimum(counts.reshape(-1, 1), cap)
     g_table = jnp.where(row_valid[:, :, None], g_table, 0.0)
+    # the kernel branches write only their own gradient rows (skipping ~18
+    # per-slot zero stores); mask the other branch's stale columns here
+    utex = table_tile[:, _e_utex(c), :] > 0.5  # (n_tiles, cap)
+    col = jnp.arange(gw)
+    is_ga = (col >= 3) & (col < 3 + 3 * c)
+    is_uv = col >= 3 + 3 * c
+    keep = jnp.where(
+        utex[:, :, None], ~is_ga[None, None, :], ~is_uv[None, None, :]
+    )
+    g_table = jnp.where(keep, g_table, 0.0)
 
     # expand to the full table width: b0/b1 rows, y bounds, z coefficients,
     # flags and window addressing are non-differentiable
