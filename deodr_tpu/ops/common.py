@@ -20,11 +20,13 @@ def gather_rows_mm(x, idx):
     """``x[idx]`` with a matmul adjoint.
 
     The autodiff transpose of a gather is a scatter-add, which TPUs execute
-    at ~1 row/cycle plus a large fixed cost; for the tiled rasterizer's
-    table gathers (a few thousand rows into a few hundred) the equivalent
-    one-hot MXU contraction is several times faster. Forward is a plain
-    gather. HIGHEST precision keeps the f32 cotangents exact (default TPU
-    dot precision would round them to bf16).
+    at ~11-14 cycles per row plus a large fixed cost (measured on v5e; see
+    PERFORMANCE.md); for the tiled rasterizer's table gathers (a few
+    thousand rows into a few hundred) the equivalent one-hot MXU contraction
+    is several times faster, while for large index sets the backward
+    switches to a plain scatter-add (the one-hot operand itself becomes the
+    cost). Forward is a plain gather. HIGHEST precision keeps the f32
+    cotangents exact (default TPU dot precision would round them to bf16).
     """
     return x[idx]
 
@@ -47,8 +49,8 @@ def _gather_rows_mm_bwd(res, ct):
     if n * n_rows > (1 << 22):
         # large shapes: the one-hot operand itself is O(n·n_rows) element ops
         # (~160M for a 4k-row table gathered into 38k slots), while the
-        # scatter-add touches only the n gathered rows — there the scatter's
-        # ~1 row/cycle is the better trade
+        # scatter-add touches only the n gathered rows — the better trade
+        # despite the TPU's ~11-14 cycles/row scatter cost
         g = jnp.zeros((n_rows, d), ct_flat.dtype).at[idx_flat].add(ct_flat)
         return g.reshape(x_shape), None
     onehot = (idx_flat[:, None] == jnp.arange(n_rows, dtype=idx_flat.dtype)[None, :]).astype(ct_flat.dtype)
