@@ -1151,26 +1151,40 @@ def edge_pass_tiled_pallas_tex(
 
     # --- per-edge texture windows, gathered differentiably ---
     # NOT vmapped dynamic_slice: XLA lowers that to a sequential while loop
-    # of per-edge DUS steps (~3.5 ms/iter for 1024 windows on v5e). Instead,
-    # roll the flat texture ww times so row i of the rolled stack holds
-    # texels [i : i+ww], then fetch each window row with ONE fast
-    # (1, minor)-slice row gather (E·wh rows total); the autodiff transpose
-    # is a flat scatter-add plus dense un-rolls (same trick as
-    # bilinear_sample's footprint table).
+    # of per-edge DUS steps (~3.5 ms/iter for 1024 windows on v5e). And NOT
+    # a per-column rolled stack of the whole atlas (ww rolls = ww strided
+    # (tex_h·tex_w, C) writes + a (…, ww, C) reshape copy: ~16 ms/iter on
+    # the duck — it was 40% of the whole fwd+bwd). Instead, quantize the
+    # window column origin to multiples of ww and DOUBLE the kernel window
+    # width: the atlas reshaped to ww-texel blocks plus ONE block roll gives
+    # a (tex_h·n_bx, 2·ww·C) "block rows" table whose row (y, bx) holds
+    # texels [ww·bx : ww·bx + 2·ww] of atlas row y — any ww-wide span lies
+    # inside the 2·ww window starting at its quantized origin. One fast
+    # (1, minor)-slice row gather fetches each window row (E·wh rows); the
+    # autodiff transpose is an equally-flat scatter-add plus dense un-rolls.
+    # The kernel pays 2x wider soft-one-hot contractions — MXU work, far
+    # cheaper than the HBM traffic this removes.
     wh, ww = tex_plan.win_h, tex_plan.win_w
+    ww_eff = 2 * ww
+    nb_c = texture.shape[2]
+    n_bx = -(-texw // ww)
+    texw_p = n_bx * ww
     uv_lo = jax.lax.stop_gradient(
         jnp.nan_to_num(jnp.floor(jnp.minimum(edges.uvs[:, 0], edges.uvs[:, 1])))
     )  # (E, 2) (u, v)
     toy = jnp.clip(uv_lo[:, 1], 0, max(texh - wh, 0)).astype(jnp.int32)
-    tox = jnp.clip(uv_lo[:, 0], 0, max(texw - ww, 0)).astype(jnp.int32)
-    nb_c = texture.shape[2]
-    tf = texture.reshape(-1, nb_c)
-    row_stack = jnp.stack([jnp.roll(tf, -j, 0) for j in range(ww)], axis=1)  # (th·tw, ww, C)
-    row_stack = row_stack.reshape(texh * texw, ww * nb_c)
-    row_idx = (toy[:, None] + jnp.arange(wh, dtype=jnp.int32)[None, :]) * texw + tox[:, None]
-    windows = row_stack[row_idx].reshape(e_n, wh, ww, nb_c)  # (E, wh, ww, C)
-    # kernel layout: channel-major row stacking (E, C·wh, ww)
-    windows = jnp.moveaxis(windows, -1, 1).reshape(e_n, nb_c * wh, ww)
+    tox_b = jnp.clip(uv_lo[:, 0], 0, max(texw - ww, 0)).astype(jnp.int32) // ww  # block index
+    tex_p = jnp.pad(texture, [(0, 0), (0, texw_p - texw), (0, 0)]) if texw_p != texw else texture
+    blocks = tex_p.reshape(texh, n_bx, ww * nb_c)
+    # wrapped texels of the last block sit at window columns >= ww and are
+    # never addressed (taps stop at texw - 2 <= ww·(bx+1) - 2)
+    block_rows = jnp.concatenate([blocks, jnp.roll(blocks, -1, axis=1)], axis=2)
+    block_rows = block_rows.reshape(texh * n_bx, ww_eff * nb_c)
+    row_idx = (toy[:, None] + jnp.arange(wh, dtype=jnp.int32)[None, :]) * n_bx + tox_b[:, None]
+    windows = block_rows[row_idx].reshape(e_n, wh, ww_eff, nb_c)  # (E, wh, 2ww, C)
+    # kernel layout: channel-major row stacking (E, C·wh, 2ww)
+    windows = jnp.moveaxis(windows, -1, 1).reshape(e_n, nb_c * wh, ww_eff)
+    tox = tox_b * ww
 
     # --- differentiable coefficient folds (see edge_pass_tiled_pallas) ---
     a0 = edges.attrs[:, 0, :]
@@ -1228,7 +1242,7 @@ def edge_pass_tiled_pallas_tex(
 
     kcfg = PallasEdgeTexConfig(
         tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, nb_colors=c,
-        error_mode=cfg.error_mode, tex_h=texh, tex_w=texw, win_h=wh, win_w=ww,
+        error_mode=cfg.error_mode, tex_h=texh, tex_w=texw, win_h=wh, win_w=ww_eff,
         n_edges=e_n, interpret=interpret,
     )
     out_pad = edge_pass_pallas_tex(
