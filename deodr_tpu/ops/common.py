@@ -141,6 +141,47 @@ def signed_area(v_xy: jnp.ndarray, clockwise: bool) -> jnp.ndarray:
     return raw if clockwise else -raw
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _footprint_table(tf: jnp.ndarray, tw: int) -> jnp.ndarray:
+    """Bilinear footprint table: row i = [tex[i] | tex[i+1] | tex[i+tw] |
+    tex[i+tw+1]] for the flat (th·tw, C) texture ``tf``.
+
+    Forward is three dense rolls + a concat (wrapped rows are never fetched:
+    callers clamp to iu ≤ tw-2, iv ≤ th-2). The hand-written transpose
+    replaces XLA's lowering of the rolls'/concat's adjoint — lane-sliced
+    splits of the (N, 4C) cotangent plus un-rolls, ~2 ms/iter on a 512²
+    atlas because every (N, k<128) slice strides the padded T(8,128) lanes —
+    with four row-rolls (dense, row-granular) contracted against one-hot
+    (4C, C) selectors on the MXU.
+    """
+    return jnp.concatenate(
+        [tf, jnp.roll(tf, -1, 0), jnp.roll(tf, -tw, 0), jnp.roll(tf, -tw - 1, 0)], axis=1
+    )
+
+
+def _footprint_table_fwd(tf, tw):
+    return _footprint_table(tf, tw), ()
+
+
+def _footprint_table_bwd(tw, res, ct):
+    del res
+    n, c = ct.shape[0], ct.shape[1] // 4
+    eye = jnp.eye(c, dtype=ct.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    g = jnp.zeros((n, c), ct.dtype)
+    for k, shift in enumerate((0, 1, tw, tw + 1)):
+        sel = jnp.zeros((4 * c, c), ct.dtype).at[k * c : (k + 1) * c, :].set(eye)
+        term = jnp.dot(ct, sel, preferred_element_type=ct.dtype, precision=hi)
+        g = g + (term if shift == 0 else jnp.roll(term, shift, 0))
+    return (g,)
+
+
+_footprint_table.defvjp(_footprint_table_fwd, _footprint_table_bwd)
+
+
 def bilinear_sample(texture: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Bilinear texture fetch with integer texel centers and border clamp.
 
@@ -170,12 +211,10 @@ def bilinear_sample(texture: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     # tex[i+tw] | tex[i+tw+1]] with three cheap dense rolls, and fetch the
     # whole 2x2 footprint with ONE row gather per pixel — 4x fewer gather
     # rows than per-tap gathers, and the transpose is an equally-flat 4x
-    # smaller scatter-add followed by dense un-rolls.
+    # smaller scatter-add followed by the table's matmul un-build.
     c = texture.shape[2]
     tf = texture.reshape(-1, c)
-    foot = jnp.concatenate(
-        [tf, jnp.roll(tf, -1, 0), jnp.roll(tf, -tw, 0), jnp.roll(tf, -tw - 1, 0)], axis=1
-    )  # (th·tw, 4C); wrapped rows are never fetched (iu ≤ tw-2, iv ≤ th-2)
+    foot = _footprint_table(tf, tw)  # (th·tw, 4C)
     taps = foot[iv * tw + iu]  # (..., 4C)
     t00 = taps[..., 0 * c : 1 * c]
     t10 = taps[..., 1 * c : 2 * c]

@@ -118,6 +118,7 @@ def render_scene(
     aa_window: Optional[tuple] = None,
     aa_tex_window: Optional[tuple] = None,
     aa_tex_plan=None,
+    check_capacity: bool = False,
 ):
     """Render a 2.5D scene.
 
@@ -128,6 +129,14 @@ def render_scene(
     selects the binned/tiled rasterization path — same per-pixel math,
     O(H·W·bin-occupancy) instead of O(H·W·T) work.
 
+    ``check_capacity`` inserts :mod:`jax.experimental.checkify` assertions
+    that every static bin/compaction capacity (tile triangle bins, drawn
+    compaction, AA edge compaction, edge tile bins, texture-window segment
+    compaction) actually held — oversubscribed bins otherwise drop the
+    lowest-priority entries silently. The caller must functionalize the
+    checks (``checkify.checkify``); :func:`render_scene_checked` does that
+    and throws on the host.
+
     In error mode (the paper's "antialiase the residual"), the err_buffer is
     initialized with the per-pixel squared difference between the
     *non-antialiased* image and ``obs``, then silhouette bands blend the
@@ -135,6 +144,7 @@ def render_scene(
     """
     if impl is None:
         impl = default_impl()
+    checks: Optional[list] = [] if check_capacity else None
     offset = 0.0 if scene.integer_pixel_centers else 0.5
     ij_off = scene.ij - offset
     height, width = scene.height, scene.width
@@ -159,13 +169,18 @@ def render_scene(
         if impl == "pallas":
             from deodr_tpu.ops.tiled import rasterize_tiled_pallas
 
-            image, z_buffer, _ = rasterize_tiled_pallas(
-                scene, ij_off, draw, background, tiling, interpret=(impl_interpret or False)
+            image, z_buffer, solid_max = rasterize_tiled_pallas(
+                scene, ij_off, draw, background, tiling, interpret=(impl_interpret or False),
+                checks=checks,
             )
         else:
             from deodr_tpu.ops.tiled import rasterize_tiled
 
-            image, z_buffer, _ = rasterize_tiled(scene, ij_off, draw, background, tiling)
+            image, z_buffer, solid_max = rasterize_tiled(
+                scene, ij_off, draw, background, tiling, checks=checks
+            )
+        if checks is not None:
+            checks.append(("solid tile bin", solid_max, tiling.triangle_capacity))
     else:
         winner, z_buffer = find_winners(
             v_xy,
@@ -202,7 +217,7 @@ def render_scene(
         err_buffer = jnp.sum((image - obs) ** 2, axis=-1)
 
     if sigma > 0:
-        edges = _build_edge_data(scene, ij_off, signed_area_v, aa_edge_capacity)
+        edges = _build_edge_data(scene, ij_off, signed_area_v, aa_edge_capacity, checks=checks)
         # the pallas edge kernel covers the (common) untextured,
         # non-perspective-correct attribute path; other configs use the
         # XLA tiled pass. Both tiled passes bin whole edges with the exact
@@ -238,38 +253,39 @@ def render_scene(
             and aa_tex_plan is not None
         )
         use_tiled_edges = tiling is not None and scene.texture is None
+        edge_max = None
         if use_pallas_tex_edges:
             from deodr_tpu.ops.tiled import edge_pass_tiled_pallas_tex
 
             if antialiase_error:
-                err_buffer, _ = edge_pass_tiled_pallas_tex(
+                err_buffer, edge_max = edge_pass_tiled_pallas_tex(
                     cfg, err_buffer, edges, texture, z_buffer, obs, tiling, aa_tex_plan,
-                    interpret=impl_interpret,
+                    interpret=impl_interpret, checks=checks,
                 )
             else:
-                image, _ = edge_pass_tiled_pallas_tex(
+                image, edge_max = edge_pass_tiled_pallas_tex(
                     cfg, image, edges, texture, z_buffer, None, tiling, aa_tex_plan,
-                    interpret=impl_interpret,
+                    interpret=impl_interpret, checks=checks,
                 )
         elif use_tiled_edges:
             if use_pallas_edges:
                 from deodr_tpu.ops.tiled import edge_pass_tiled_pallas
 
                 if antialiase_error:
-                    err_buffer, _ = edge_pass_tiled_pallas(
+                    err_buffer, edge_max = edge_pass_tiled_pallas(
                         cfg, err_buffer, edges, z_buffer, obs, tiling, interpret=impl_interpret
                     )
                 else:
-                    image, _ = edge_pass_tiled_pallas(
+                    image, edge_max = edge_pass_tiled_pallas(
                         cfg, image, edges, z_buffer, None, tiling, interpret=impl_interpret
                     )
             else:
                 from deodr_tpu.ops.tiled import edge_pass_tiled
 
                 if antialiase_error:
-                    err_buffer, _ = edge_pass_tiled(cfg, err_buffer, edges, texture, z_buffer, obs, tiling)
+                    err_buffer, edge_max = edge_pass_tiled(cfg, err_buffer, edges, texture, z_buffer, obs, tiling)
                 else:
-                    image, _ = edge_pass_tiled(cfg, image, edges, texture, z_buffer, None, tiling)
+                    image, edge_max = edge_pass_tiled(cfg, image, edges, texture, z_buffer, None, tiling)
         elif antialiase_error:
             if aa_window is not None:
                 err_buffer = edge_overdraw_pass_windowed(cfg, err_buffer, edges, texture, z_buffer, obs, aa_window)
@@ -281,8 +297,44 @@ def render_scene(
                 image = edge_overdraw_pass_windowed(cfg, image, edges, texture, z_buffer, obs_dummy, aa_window)
             else:
                 image = edge_overdraw_pass(cfg, image, edges, texture, z_buffer, obs_dummy)
+        if checks is not None and edge_max is not None:
+            checks.append(("edge tile bin", edge_max, tiling.edge_capacity))
+
+    if checks:
+        from jax.experimental import checkify
+
+        for label, count, capacity in checks:
+            checkify.check(
+                count <= capacity,
+                label + " overflow: occupancy {c} exceeds static capacity {k}; "
+                "entries were dropped — raise the capacity in TilingConfig / "
+                "the plan (see suggest_tiling)",
+                c=count,
+                k=jnp.asarray(capacity),
+            )
 
     return image, z_buffer, err_buffer
+
+
+def render_scene_checked(scene: SceneBuffers, sigma: float, **kwargs):
+    """:func:`render_scene` with loud bin-capacity validation.
+
+    Runs the render with ``check_capacity=True`` under
+    ``checkify.checkify`` and throws ``JaxRuntimeError`` on the host if any
+    static capacity was exceeded (instead of silently dropping bins —
+    TilingConfig's documented overflow behavior). Use inside jit by
+    checkifying your own function and passing ``check_capacity=True``.
+    """
+    from jax.experimental import checkify
+
+    kwargs["check_capacity"] = True
+
+    def f(s):
+        return render_scene(s, sigma, **kwargs)
+
+    err, out = checkify.checkify(f)(scene)
+    err.throw()
+    return out
 
 
 def _build_edge_data(
@@ -290,6 +342,7 @@ def _build_edge_data(
     ij_off: jnp.ndarray,
     signed_area_v: jnp.ndarray,
     aa_edge_capacity: Optional[int] = None,
+    checks: Optional[list] = None,
 ) -> EdgeData:
     """Assemble per-edge arrays in back-to-front triangle order.
 
@@ -313,6 +366,8 @@ def _build_edge_data(
     active = scene.edgeflags[tri, slot] & (signed_area_v[tri] > 0)
 
     if aa_edge_capacity is not None and aa_edge_capacity < 3 * nt:
+        if checks is not None:
+            checks.append(("AA edge compaction", jnp.sum(active), aa_edge_capacity))
         # sort-free compaction: prefix-count ranks + one-hot contraction keep
         # active edges in depth order while moving them to the front. Done on
         # the (integer, non-differentiable) index level BEFORE any other
@@ -379,7 +434,7 @@ def _order_descending(keys: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("ip,i->p", onehot, idx.astype(jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling", "impl", "aa_window", "aa_tex_window", "aa_tex_plan"))
+@partial(jax.jit, static_argnames=("sigma", "antialiase_error", "chunk", "aa_edge_capacity", "tiling", "impl", "aa_window", "aa_tex_window", "aa_tex_plan", "check_capacity"))
 def render_scene_jit(
     scene: SceneBuffers,
     sigma: float,
@@ -392,6 +447,7 @@ def render_scene_jit(
     aa_window: Optional[tuple] = None,
     aa_tex_window: Optional[tuple] = None,
     aa_tex_plan=None,
+    check_capacity: bool = False,
 ):
     """Compile-cached entry point for :func:`render_scene`."""
     return render_scene(
@@ -406,4 +462,5 @@ def render_scene_jit(
         aa_window=aa_window,
         aa_tex_window=aa_tex_window,
         aa_tex_plan=aa_tex_plan,
+        check_capacity=check_capacity,
     )

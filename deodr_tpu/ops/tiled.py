@@ -52,6 +52,14 @@ class TilingConfig(NamedTuple):
     # along the edge, so sub-segments composite to exactly the same values)
     edge_split: int = 1
     edge_segment_length: float = 48.0
+    # 0 = sample textures over the full frame; else the solid pass's
+    # bilinear texture fetch (and its gather/scatter adjoints — the most
+    # expensive per-row ops of a textured frame) runs only on the tiles
+    # with a non-empty triangle bin, compacted to this static capacity.
+    # Background-only tiles (half the frame for a typical object render)
+    # then cost nothing. Size it to the number of occupied tiles
+    # (suggest_tiling measures it).
+    tex_tile_capacity: int = 0
 
 
 def _exclusive_prefix_count(maskf: jnp.ndarray) -> jnp.ndarray:
@@ -409,6 +417,7 @@ def rasterize_tiled(
     draw: jnp.ndarray,
     background: jnp.ndarray,
     tiling: TilingConfig,
+    checks=None,
 ):
     """Full tiled solid pass: visibility + matmul-based shading.
 
@@ -440,6 +449,8 @@ def rasterize_tiled(
         # row builds — scales with N
         t_all = faces.shape[0]
         dcap = min(tiling.drawn_capacity, t_all)
+        if checks is not None:
+            checks.append(("drawn-triangle compaction", jnp.sum(draw), dcap))
         drawf = draw.astype(jnp.float32)
         rank = (jnp.cumsum(drawf) - drawf).astype(jnp.int32)
         ks = jnp.arange(dcap, dtype=jnp.int32)
@@ -679,6 +690,55 @@ def _finish_shading(scene, vals, z_buffer, background):
     return image
 
 
+def _finish_shading_tile_tex(scene, vals_pad, z_pad, counts, tiling, n_ty, n_tx, background, checks):
+    """Tile-compacted variant of :func:`_finish_shading`'s texture fetch.
+
+    The per-pixel bilinear gather and its scatter transpose cost ~13
+    cycles/row on TPU — the dominant per-frame cost of a textured solid
+    pass. Every covered pixel lies in a tile whose triangle bin is
+    non-empty, so the fetch runs only on those tiles, compacted to the
+    static ``tex_tile_capacity`` (background-only tiles skip it entirely).
+    Results are identical to the full-frame fetch when the capacity holds
+    (checked via ``check_capacity``)."""
+    from deodr_tpu.ops.common import bilinear_sample
+
+    th, tw = tiling.tile_h, tiling.tile_w
+    height, width = scene.height, scene.width
+    nb_colors = scene.colors.shape[1]
+    d_total = vals_pad.shape[0]
+    n_tiles = n_ty * n_tx
+    k_cap = min(tiling.tex_tile_capacity, n_tiles)
+    occupied = counts > 0
+    if checks is not None:
+        checks.append(("texture tile compaction", jnp.sum(occupied), k_cap))
+    tids_row, tvalid_row, _ = _compact_bins(occupied[None, :], k_cap)
+    tids, tvalid = tids_row[0], tvalid_row[0]
+
+    vt = vals_pad.reshape(d_total, n_ty, th, n_tx, tw)
+    vt = jnp.transpose(vt, (1, 3, 0, 2, 4)).reshape(n_tiles, d_total * th * tw)
+    sel = gather_rows_mm(vt, tids).reshape(k_cap, d_total, th, tw)
+    idx = nb_colors
+    uv_px = jnp.stack([sel[:, idx], sel[:, idx + 1]], axis=-1)  # (K, th, tw, 2)
+    lum = sel[:, idx + 2]
+    tex_px = bilinear_sample(scene.texture, uv_px) * lum[..., None]
+    tex_px = jnp.where(jnp.isfinite(tex_px), tex_px, 0.0)
+    # invalid slots point at tile 0; zero their rows so the .add is a no-op
+    tex_rows = (tex_px * tvalid[:, None, None, None].astype(tex_px.dtype)).reshape(
+        k_cap, th * tw * nb_colors
+    )
+    full = jnp.zeros((n_tiles, th * tw * nb_colors), tex_px.dtype).at[tids].add(tex_rows)
+    tex_full = _untile(full.reshape(n_tiles, th, tw, nb_colors), n_ty, n_tx, th, tw, height, width)
+
+    vals = jnp.moveaxis(vals_pad, 0, -1)[:height, :width, :]
+    pix = vals[..., :nb_colors]
+    use_tex = jax.lax.stop_gradient(vals[..., d_total - 1]) > 0.5
+    pix = jnp.where(use_tex[..., None], tex_full, pix)
+    z_buffer = z_pad[:height, :width]
+    covered = jnp.isfinite(z_buffer)
+    pix = jnp.where(jnp.isfinite(pix), pix, 0.0)
+    return jnp.where(covered[..., None], pix, background)
+
+
 def _pack_setup_rows(setup: TriangleRowSetup, dtype):
     """Pack TriangleRowSetup into the (T, 22) float layout consumed by the
     Pallas kernel (see deodr_tpu.ops.pallas.raster_kernel)."""
@@ -699,7 +759,9 @@ def _pack_setup_rows(setup: TriangleRowSetup, dtype):
     return jnp.concatenate([c.astype(dtype) for c in cols], axis=1)
 
 
-def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig, interpret: bool = False):
+def rasterize_tiled_pallas(
+    scene, ij_off, draw, background, tiling: TilingConfig, interpret: bool = False, checks=None
+):
     """Pallas-kernel version of :func:`rasterize_tiled` (same results)."""
     from deodr_tpu.ops.pallas.raster_kernel import (
         PallasRasterConfig,
@@ -722,6 +784,8 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
         # row builds — scales with N
         t_all = faces.shape[0]
         dcap = min(tiling.drawn_capacity, t_all)
+        if checks is not None:
+            checks.append(("drawn-triangle compaction", jnp.sum(draw), dcap))
         drawf = draw.astype(jnp.float32)
         rank = (jnp.cumsum(drawf) - drawf).astype(jnp.int32)
         ks = jnp.arange(dcap, dtype=jnp.int32)
@@ -775,8 +839,13 @@ def rasterize_tiled_pallas(scene, ij_off, draw, background, tiling: TilingConfig
     counts_i = counts.astype(jnp.int32)[None, :]
     slot_map, z_pad, vals_pad = raster_eval_pallas(cfg, affine_tile, setup_tile, counts_i)
     z_buffer = z_pad[:height, :width]
-    vals = jnp.moveaxis(vals_pad, 0, -1)[:height, :width, :]
-    image = _finish_shading(scene, vals, z_buffer, background)
+    if scene.texture is not None and tiling.tex_tile_capacity and not persp:
+        image = _finish_shading_tile_tex(
+            scene, vals_pad, z_pad, counts, tiling, n_ty, n_tx, background, checks
+        )
+    else:
+        vals = jnp.moveaxis(vals_pad, 0, -1)[:height, :width, :]
+        image = _finish_shading(scene, vals, z_buffer, background)
     return image, jax.lax.stop_gradient(z_buffer), jnp.max(counts)
 
 
@@ -1110,6 +1179,7 @@ def edge_pass_tiled_pallas_tex(
     tiling: TilingConfig,
     tex_plan: EdgeTexPlan,
     interpret: bool = False,
+    checks=None,
 ):
     """Pallas-kernel edge-overdraw pass for textured (and mixed) scenes.
 
@@ -1143,6 +1213,10 @@ def edge_pass_tiled_pallas_tex(
     if tex_plan.n_split > 1:
         edges = split_edges(edges, tex_plan.n_split, None, uv_segment_length=tex_plan.uv_segment_length)
         if tex_plan.seg_capacity:
+            if checks is not None:
+                checks.append(
+                    ("texture-window segment compaction", jnp.sum(edges.active), tex_plan.seg_capacity)
+                )
             edges = compact_active_edges(edges, tex_plan.seg_capacity)
     e_n = edges.v0.shape[0]
 

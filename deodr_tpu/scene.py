@@ -427,7 +427,7 @@ class Scene3D:
         # tunnel costs ~57 ms regardless of size, so the eager ops /
         # array transfers this used to do dominated the whole render call
         def make_plan_fn():
-            def occupancy(x_lo, x_hi, y_lo, y_hi, ok, n_ty, n_tx, th, tw):
+            def occupancy_counts(x_lo, x_hi, y_lo, y_hi, ok, n_ty, n_tx, th, tw):
                 okf = ok.astype(jnp.float32)
                 ty0 = jnp.clip(y_lo // th, 0, n_ty - 1).astype(jnp.int32)
                 ty1 = jnp.clip(y_hi // th, 0, n_ty - 1).astype(jnp.int32)
@@ -438,8 +438,7 @@ class Scene3D:
                 delta = delta.at[ty1 + 1, tx0].add(-okf)
                 delta = delta.at[ty0, tx1 + 1].add(-okf)
                 delta = delta.at[ty1 + 1, tx1 + 1].add(okf)
-                counts = jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
-                return counts.max()
+                return jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
 
             def f(vertices):
                 points_2d, depths = camera.project_points(jax.lax.stop_gradient(vertices))
@@ -491,10 +490,13 @@ class Scene3D:
                     if sigma > 0:
                         p0 = pts[i0] * flat[:, None]
                         p1 = pts[i1] * flat[:, None]
+                    occupied_tiles = []
                     for th in tile_h_candidates:
                         n_ty = -(-height // th)
                         n_tx = -(-width // tile_w)
-                        stats.append(occupancy(x_lo, x_hi, y_lo, y_hi, drawn, n_ty, n_tx, th, tile_w))
+                        counts = occupancy_counts(x_lo, x_hi, y_lo, y_hi, drawn, n_ty, n_tx, th, tile_w)
+                        stats.append(counts.max())
+                        occupied_tiles.append((counts > 0).sum())
                         if sigma > 0:
                             m = _edge_band_tile_mask(
                                 p0.astype(jnp.float32), p1.astype(jnp.float32), sigma,
@@ -504,6 +506,10 @@ class Scene3D:
                         else:
                             stats.append(jnp.zeros(()))
                     stats.append(drawn.sum())
+                    # trailing (index 8 + 2·len(candidates) + k): tiles with a
+                    # non-empty triangle bin, per tile-height candidate — sizes
+                    # TilingConfig.tex_tile_capacity (tile-compacted texturing)
+                    stats += occupied_tiles
                 return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
 
             return jax.jit(f)
@@ -580,6 +586,13 @@ class Scene3D:
                 return max(8, int(2 ** math.ceil(math.log2(n))))
 
             n_drawn = int(stats[7 + 2 * len(tile_h_candidates)])
+            n_tiles_sel = (-(-height // tile_h)) * (-(-width // tile_w))
+            occ_tiles = int(stats[8 + 2 * len(tile_h_candidates) + k])
+            tex_tile_cap = 0
+            if for_pallas and mesh.texture is not None:
+                # multiple-of-8 bucket with margin; capped at the tile count
+                # (at which point compaction is a no-op but still correct)
+                tex_tile_cap = min(max(8, -(-int(occ_tiles * 1.25) // 8) * 8), n_tiles_sel)
             tiling = TilingConfig(
                 tile_h=tile_h,
                 tile_w=tile_w,
@@ -591,6 +604,7 @@ class Scene3D:
                 edge_split=1,
                 edge_segment_length=48.0,
                 edge_tile_h=edge_tile_h,
+                tex_tile_capacity=tex_tile_cap,
             )
 
         # Pallas textured edge pass: per-segment texture windows + uv-split
@@ -651,6 +665,10 @@ class Scene3D:
                 and (
                     (tiling.drawn_capacity == 0 and l_tiling.drawn_capacity == 0)
                     or n_drawn <= l_tiling.drawn_capacity <= 4 * max(tiling.drawn_capacity, 8)
+                )
+                and (
+                    (tiling.tex_tile_capacity == 0 and l_tiling.tex_tile_capacity == 0)
+                    or occ_tiles <= l_tiling.tex_tile_capacity <= 4 * max(tiling.tex_tile_capacity, 8)
                 )
             ):
                 tiling = l_tiling

@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--profile", type=str, default=None, help="jax.profiler trace dir")
     ap.add_argument("--impl", type=str, default=None)
+    ap.add_argument(
+        "--dump-hlo", type=str, default=None,
+        help="write the chained step's optimized HLO here (fusion names match "
+        "a --profile trace of the same run) and exit before timing",
+    )
     args = ap.parse_args()
 
     import jax
@@ -119,6 +124,13 @@ def main() -> None:
         return jax.lax.scan(body, params, None, length=k_scan)
 
     params0 = (buffers.ij, buffers.uv, buffers.shade, buffers.texture)
+
+    if args.dump_hlo:
+        txt = chained.lower(params0).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"wrote {args.dump_hlo} ({len(txt)} bytes)", file=sys.stderr)
+        return
 
     # ---- wall: one dispatch per step ----
     params, loss = step(params0)  # compile
