@@ -46,15 +46,31 @@ def _gather_rows_mm_bwd(res, ct):
     if n == 0 or d == 0:
         return jnp.zeros(x_shape, ct.dtype), None
     ct_flat = ct.reshape(n, d)
-    if n * n_rows > (1 << 22):
-        # large shapes: the one-hot operand itself is O(n·n_rows) element ops
-        # (~160M for a 4k-row table gathered into 38k slots), while the
-        # scatter-add touches only the n gathered rows — the better trade
-        # despite the TPU's ~11-14 cycles/row scatter cost
-        g = jnp.zeros((n_rows, d), ct_flat.dtype).at[idx_flat].add(ct_flat)
+    if n * n_rows <= (1 << 22):
+        onehot = (idx_flat[:, None] == jnp.arange(n_rows, dtype=idx_flat.dtype)[None, :]).astype(ct_flat.dtype)
+        g = jnp.einsum("nr,nd->rd", onehot, ct_flat, precision=jax.lax.Precision.HIGHEST)
         return g.reshape(x_shape), None
-    onehot = (idx_flat[:, None] == jnp.arange(n_rows, dtype=idx_flat.dtype)[None, :]).astype(ct_flat.dtype)
-    g = jnp.einsum("nr,nd->rd", onehot, ct_flat, precision=jax.lax.Precision.HIGHEST)
+    if n_rows <= 4096:
+        # mid-size tables, many slots (e.g. the per-tile affine-table gather:
+        # ~77k slots into ~2k triangle rows): a scatter-add pays ~9-14ns per
+        # slot row (0.7 ms at 77k); chunked one-hot contractions pay
+        # O(n·n_rows) compares on the VPU + an MXU matmul per chunk with a
+        # bounded (chunk × n_rows) operand — ~2x faster at these shapes
+        chunk = max(1, (1 << 24) // n_rows)
+        pad = (-n) % chunk
+        idx_p = jnp.pad(idx_flat, (0, pad), constant_values=n_rows)  # out-of-range → all-zero one-hot row
+        ct_p = jnp.pad(ct_flat, ((0, pad), (0, 0)))
+        nb = idx_p.shape[0] // chunk
+        idx_c = idx_p.reshape(nb, chunk)
+        ct_c = ct_p.reshape(nb, chunk, d)
+        rows = jnp.arange(n_rows, dtype=idx_flat.dtype)
+        onehot = (idx_c[:, :, None] == rows[None, None, :]).astype(ct_flat.dtype)
+        g = jnp.einsum("bnr,bnd->rd", onehot, ct_c, precision=jax.lax.Precision.HIGHEST)
+        return g.reshape(x_shape), None
+    # huge tables: the one-hot operand itself is O(n·n_rows) element ops,
+    # while the scatter-add touches only the n gathered rows — the better
+    # trade despite the TPU's ~11-14 cycles/row scatter cost
+    g = jnp.zeros((n_rows, d), ct_flat.dtype).at[idx_flat].add(ct_flat)
     return g.reshape(x_shape), None
 
 

@@ -378,7 +378,7 @@ def _build_edge_data(
         ks = jnp.arange(aa_edge_capacity, dtype=jnp.int32)
         onehot = ((rank[:, None] == ks[None, :]) & active[:, None]).astype(jnp.float32)
         perm = jnp.einsum("nk,n->k", onehot, jnp.arange(3 * nt, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-        got = jnp.sum(onehot, axis=0) > 0.5
+        got = ks < jnp.sum(active).astype(jnp.int32)
         tri = order[perm // 3]
         slot = perm % 3
         active = active[perm] & got

@@ -121,7 +121,10 @@ def _compact_bins(mask: jnp.ndarray, capacity: int):
     onehot = ((rank[:, :, None] == ks[None, None, :]) & mask[:, :, None]).astype(jnp.float32)
     ids = jnp.arange(n, dtype=jnp.float32)
     slots = jnp.einsum("tnk,n->tk", onehot, ids, precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
-    slot_valid = jnp.sum(onehot, axis=1) > 0.5
+    # ranks are contiguous 0..count-1, so slot k is filled iff k < count —
+    # no need to reduce the (n_tiles, N, cap) one-hot a second time (that
+    # reduce measured 0.45 ms/iter on the duck solid binning)
+    slot_valid = ks[None, :] < counts[:, None].astype(jnp.int32)
     return slots, slot_valid, counts
 
 
@@ -458,7 +461,7 @@ def rasterize_tiled(
         perm = jnp.einsum(
             "nk,n->k", onehot, jnp.arange(t_all, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
         ).astype(jnp.int32)
-        got = jnp.sum(onehot, axis=0) > 0.5
+        got = ks < jnp.sum(draw).astype(jnp.int32)
         faces = faces[perm]
         faces_uv = faces_uv[perm]
         textured = textured[perm]
@@ -793,7 +796,7 @@ def rasterize_tiled_pallas(
         perm = jnp.einsum(
             "nk,n->k", onehot, jnp.arange(t_all, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
         ).astype(jnp.int32)
-        got = jnp.sum(onehot, axis=0) > 0.5
+        got = ks < jnp.sum(draw).astype(jnp.int32)
         faces = faces[perm]
         faces_uv = faces_uv[perm]
         textured = textured[perm]
@@ -1022,7 +1025,7 @@ def compact_active_edges(edges: EdgeData, capacity: int) -> EdgeData:
     perm = jnp.einsum(
         "nk,n->k", onehot, jnp.arange(e, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
     ).astype(jnp.int32)
-    got = jnp.sum(onehot, axis=0) > 0.5
+    got = ks < jnp.sum(edges.active).astype(jnp.int32)
 
     c = edges.attrs.shape[-1]
     feat = jnp.concatenate(

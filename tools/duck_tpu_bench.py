@@ -44,6 +44,10 @@ def main() -> None:
         help="write the chained step's optimized HLO here (fusion names match "
         "a --profile trace of the same run) and exit before timing",
     )
+    ap.add_argument("--tex-plan", type=str, default=None,
+                    help="override EdgeTexPlan as win_h,win_w,n_split,seg_cap,seg_len")
+    ap.add_argument("--edge-tile-h", type=int, default=None)
+    ap.add_argument("--edge-cap", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -69,6 +73,18 @@ def main() -> None:
     scene.set_background_color(np.array([0.2, 0.3, 0.5]))
 
     cap, tiling, aa_window, aa_tex_window, aa_tex_plan = scene._eager_plan(camera)
+    if args.tex_plan:
+        from deodr_tpu.ops.tiled import EdgeTexPlan
+
+        wh, ww, ns, sc, sl = args.tex_plan.split(",")
+        aa_tex_plan = EdgeTexPlan(
+            win_h=int(wh), win_w=int(ww), n_split=int(ns),
+            seg_capacity=int(sc), uv_segment_length=float(sl),
+        )
+    if args.edge_tile_h is not None:
+        tiling = tiling._replace(edge_tile_h=args.edge_tile_h)
+    if args.edge_cap is not None:
+        tiling = tiling._replace(edge_capacity=args.edge_cap)
     impl_arg = None if scene.impl in (None, "auto", "brute") else scene.impl
     print(
         f"plan: cap={cap} tiling={tiling} aa_window={aa_window} "
