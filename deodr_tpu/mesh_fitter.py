@@ -865,10 +865,16 @@ class MeshRGBFitterWithPoseMultiFrame:
                 P("views"),
                 (P(), P("views"), P("views"), P(), P(), P()),
             ),
-            # the render's scan carries are initialized from constants
-            # (replicated) and updated from sharded per-frame data; the
-            # varying-manual-axes checker rejects that mix even though the
-            # computation is purely frame-local
+            # check_vma=False disables the varying-manual-axes checker for
+            # the WHOLE sharded energy, not just the one pattern that needs
+            # it: the render's scan carries are initialized from constants
+            # (replicated) and updated from sharded per-frame data, a mix
+            # the checker rejects even though the computation is purely
+            # frame-local. The safety net for future edits is the mandatory
+            # sharded-vs-sequential bit-parity test
+            # (tests/test_parallel.py::test_multiframe_fitter_sharded) —
+            # keep it green; re-enable the check if a future jax accepts
+            # the replicated-carry pattern.
             check_vma=False,
         )
         return jax.jit(sm)
@@ -1012,7 +1018,13 @@ class MeshRGBFitterWithPoseMultiFrame:
                     obs_all,
                 )
                 gv, gq, gt, gc, gld, gla = grads
-                # repackage into the sequential path's per-frame layout
+                # Repackage into the sequential path's per-frame layout.
+                # INVARIANT: gv/gc/gld/gla are already psum'd TOTALS over
+                # frames; they are placed in frame 0 with zeros elsewhere,
+                # which is correct ONLY for consumers that sum the
+                # "per-frame" shared-parameter gradients (energy_data does,
+                # with +=). A consumer reading a genuinely per-frame shared
+                # gradient from frames > 0 would get zeros.
                 return [
                     (
                         e_frames[i],

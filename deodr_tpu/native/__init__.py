@@ -37,8 +37,11 @@ def render_scene_native(scene_buffers, sigma: float):
     """Render a SceneBuffers pytree with the native CPU rasterizer.
 
     Returns (image (H, W, C), z_buffer (H, W)) float64 numpy arrays.
-    Forward only (the oracle role); perspective-correct mode and background
-    images are supported, antialiase-error mode is not.
+    Forward only (the oracle role); background images are supported.
+    NOT supported: antialiase-error mode, and perspective-correct
+    attribute interpolation (rasterizer.cpp evaluates affine z/attribute
+    planes only, and the flag is not marshaled into the C call — oracle
+    comparisons must use perspective_correct=False scenes).
     """
     lib = _get_lib()
     b = scene_buffers

@@ -64,8 +64,32 @@ def _gather_rows_mm_bwd(res, ct):
         idx_c = idx_p.reshape(nb, chunk)
         ct_c = ct_p.reshape(nb, chunk, d)
         rows = jnp.arange(n_rows, dtype=idx_flat.dtype)
-        onehot = (idx_c[:, :, None] == rows[None, None, :]).astype(ct_flat.dtype)
-        g = jnp.einsum("bnr,bnd->rd", onehot, ct_c, precision=jax.lax.Precision.HIGHEST)
+        if n * n_rows <= (1 << 29):
+            # XLA fuses the one-hot comparison into the dot emitter at these
+            # shapes (the duck's 134k-slot × 2k-row affine gather measures
+            # 0.38 ms as ONE fused dot), so the logical one-hot is not
+            # materialized; keep the single batched einsum up to 2^29
+            # elements and reserve the scan for genuinely huge slot counts
+            onehot = (idx_c[:, :, None] == rows[None, None, :]).astype(ct_flat.dtype)
+            g = jnp.einsum("bnr,bnd->rd", onehot, ct_c, precision=jax.lax.Precision.HIGHEST)
+            return g.reshape(x_shape), None
+
+        # genuinely bounded memory for huge slot counts: a sequential scan
+        # materializes only ONE (chunk, n_rows) one-hot at a time while the
+        # accumulator stays (n_rows, d) — peak HBM is O(chunk·n_rows), not
+        # O(n·n_rows), at the cost of nb serialized MXU matmuls
+        def _acc(g, xs):
+            idx_b, ct_b = xs
+            onehot_b = (idx_b[:, None] == rows[None, :]).astype(ct_flat.dtype)
+            return (
+                g
+                + jnp.einsum(
+                    "nr,nd->rd", onehot_b, ct_b, precision=jax.lax.Precision.HIGHEST
+                ),
+                None,
+            )
+
+        g, _ = jax.lax.scan(_acc, jnp.zeros((n_rows, d), ct_flat.dtype), (idx_c, ct_c))
         return g.reshape(x_shape), None
     # huge tables: the one-hot operand itself is O(n·n_rows) element ops,
     # while the scatter-add touches only the n gathered rows — the better
@@ -272,6 +296,183 @@ def bilinear_sample_window(tex_win: jnp.ndarray, p: jnp.ndarray, origin, full_hw
     w_eu = eu[..., None]
     w_ev = ev[..., None]
     return ((1 - w_eu) * t00 + w_eu * t10) * (1 - w_ev) + ((1 - w_eu) * t01 + w_eu * t11) * w_ev
+
+
+def quad_window_table(texture: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 8×8 texel window table for quad-granular bilinear fetches.
+
+    Row (bv, bu) holds ``texture[2bv : 2bv+8, 2bu : 2bu+8]`` flattened to
+    (8·8·C,), zero-padded past the texture borders (padded texels are never
+    selected: bilinear taps are clamped to the real texture domain and the
+    per-pixel one-hot extraction only addresses tap offsets).
+
+    Why stride 2 / window 8: a window at an even origin ``2⌊iu_min/2⌋``
+    covers any set of taps whose span is ≤ 6 texels — which holds for the
+    taps of a whole 2×2 *screen-pixel quad* at typical texel densities
+    (measured 97.6% of covered quads on the duck scene). Fetching one
+    window row per QUAD instead of one footprint row per PIXEL cuts the
+    gather/scatter row count 4× — the dominant per-row cost of a textured
+    solid pass on TPU (see PERFORMANCE.md). The build is 64 strided slices
+    (dense, no gather); its autodiff transpose sums 64 dilated pads.
+    """
+    th, tw, c = texture.shape
+    texp = jnp.pad(texture, ((0, 6), (0, 6), (0, 0)))
+    n_bv, n_bu = th // 2, tw // 2
+    rows = []
+    for dy in range(8):
+        for dx in range(8):
+            rows.append(
+                jax.lax.slice(
+                    texp, (dy, dx, 0), (dy + 2 * n_bv - 1, dx + 2 * n_bu - 1, c), (2, 2, 1)
+                )
+            )
+    # (n_bv, n_bu, 64, C) with (dy, dx) major → flatten to (n_bv·n_bu, 192)
+    table = jnp.stack(rows, axis=2)
+    return table.reshape(n_bv * n_bu, 64 * c)
+
+
+def bilinear_sample_quads(
+    texture: jnp.ndarray,
+    uv_q: jnp.ndarray,
+    mask_q: jnp.ndarray,
+    fallback_capacity: int,
+    checks=None,
+    table: jnp.ndarray = None,
+    use_kernel: bool = False,
+    interpret: bool = False,
+):
+    """Bilinear texture fetch with one window-table row per 2×2 pixel quad.
+
+    ``uv_q``: (Q, 4, 2) pixel uv grouped by screen quad; ``mask_q``: (Q, 4)
+    bool, pixels that actually consume their sample (the rest get an
+    arbitrary in-window value — callers mask them out). Returns (Q, 4, C).
+
+    Exact per pixel: the taps are the same texel values as
+    :func:`bilinear_sample` (read from the window table instead of the
+    footprint table) and the result equals its blend up to f32 summation
+    order (bit-identical on the XLA path; ≤ 2 ulp on the kernel path,
+    whose fused soft-one-hot accumulation sums the 4 weighted taps in a
+    fixed tap order — see ops/pallas/quad_blend_kernel.py). Quads whose
+    taps span more than 6 texels (uv seams, strong minification) are
+    re-fetched pixel-by-pixel through a compacted fallback list of static
+    ``fallback_capacity``; quads beyond that capacity keep the (wrong)
+    clamped-window sample — a capacity event, surfaced via ``checks`` like
+    every other static bin capacity.
+
+    ``use_kernel`` routes the main pass through the Pallas blend kernel
+    (the production TPU path); the XLA extraction otherwise.
+    """
+    th, tw, c = texture.shape
+    n_bu = tw // 2
+    q = uv_q.shape[0]
+    if table is None:
+        table = quad_window_table(texture)
+
+    u = uv_q[..., 0]
+    v = uv_q[..., 1]
+    fu = jnp.floor(u)
+    fv = jnp.floor(v)
+    # border rules identical to bilinear_sample
+    eu = jnp.where(fu < 0, 0.0, jnp.where(fu > tw - 2, 1.0, u - fu))
+    ev = jnp.where(fv < 0, 0.0, jnp.where(fv > th - 2, 1.0, v - fv))
+    iu = jnp.clip(fu, 0, tw - 2).astype(jnp.int32)  # (Q, 4)
+    iv = jnp.clip(fv, 0, th - 2).astype(jnp.int32)
+
+    big_u = jnp.int32(tw - 2)
+    big_v = jnp.int32(th - 2)
+    iu_eff = jnp.where(mask_q, iu, big_u)
+    iv_eff = jnp.where(mask_q, iv, big_v)
+    org_u = 2 * (jnp.min(iu_eff, axis=1) // 2)  # (Q,)
+    org_v = 2 * (jnp.min(iv_eff, axis=1) // 2)
+    du = iu - org_u[:, None]  # (Q, 4), ≥ 0 for masked pixels
+    dv = iv - org_v[:, None]
+    bad = jnp.any(mask_q & ((du > 6) | (dv > 6)), axis=1)  # (Q,)
+    du_c = jnp.clip(du, 0, 6)
+    dv_c = jnp.clip(dv, 0, 6)
+
+    rows = (org_v // 2) * n_bu + (org_u // 2)
+
+    def extract(win_q, dv_p, du_p, ev_p, eu_p):
+        # Hard one-hot tap extraction: sums of zeros plus the tap value, so
+        # results equal direct indexing exactly in any float dtype.
+        # Expressed as broadcast-multiply + jnp.sum (NOT einsum): einsum
+        # lowers to size-(Q)-batched tiny dot_generals on TPU — both slow
+        # (MXU at batch 49k × 8×8 operands) and bf16-rounding at default
+        # precision; the mul+reduce form fuses on the VPU and is exact.
+        offs = jnp.arange(8, dtype=jnp.int32)
+        dt = win_q.dtype
+        oh_u0 = (du_p[..., None] == offs).astype(dt)  # (Q, P, 8)
+        oh_u1 = (du_p[..., None] + 1 == offs).astype(dt)
+        oh_v0 = (dv_p[..., None] == offs).astype(dt)
+        oh_v1 = (dv_p[..., None] + 1 == offs).astype(dt)
+        winb = win_q[:, None]  # (Q, 1, 8(dy), 8(dx), C)
+        wu0 = jnp.sum(oh_u0[:, :, None, :, None] * winb, axis=3)  # (Q, P, 8, C)
+        wu1 = jnp.sum(oh_u1[:, :, None, :, None] * winb, axis=3)
+        t00 = jnp.sum(oh_v0[..., None] * wu0, axis=2)  # (Q, P, C)
+        t10 = jnp.sum(oh_v0[..., None] * wu1, axis=2)
+        t01 = jnp.sum(oh_v1[..., None] * wu0, axis=2)
+        t11 = jnp.sum(oh_v1[..., None] * wu1, axis=2)
+        w_eu = eu_p[..., None]
+        w_ev = ev_p[..., None]
+        return ((1 - w_eu) * t00 + w_eu * t10) * (1 - w_ev) + (
+            (1 - w_eu) * t01 + w_eu * t11
+        ) * w_ev
+
+    if use_kernel:
+        from deodr_tpu.ops.pallas.quad_blend_kernel import QuadBlendConfig, quad_blend
+
+        bq = 512
+        qp = -(-q // bq) * bq
+        pad = qp - q
+        win_rows = table[rows]  # (Q, 192) — the ONE per-quad row gather
+        win_t = jnp.pad(win_rows, ((0, pad), (0, 0))).T  # (192C-wide rows, Qp)
+
+        def t4(a):
+            return jnp.pad(a.T.astype(texture.dtype), ((0, 0), (0, pad)))
+
+        coeffs = jnp.concatenate([t4(dv_c), t4(du_c), t4(ev), t4(eu)], axis=0)
+        cfg = QuadBlendConfig(nb_colors=c, block_q=bq, n_blocks=qp // bq, interpret=interpret)
+        out = quad_blend(cfg, win_t, coeffs)  # (4C, Qp), c-major rows
+        samples = out.reshape(c, 4, qp)[:, :, :q].transpose(2, 1, 0)  # (Q, 4, C)
+    else:
+        win = table[rows].reshape(q, 8, 8, c)  # (Q, dy, dx, C)
+        samples = extract(win, dv_c, du_c, ev, eu)  # (Q, 4, C)
+
+    if fallback_capacity <= 0:
+        return samples
+
+    if checks is not None:
+        checks.append(("quad-fetch fallback compaction", jnp.sum(bad), fallback_capacity))
+
+    # compact the oversize quads and re-fetch their pixels individually:
+    # a single pixel's taps span 1 texel, so a per-pixel even origin always
+    # fits the window
+    from deodr_tpu.ops.tiled import _compact_bins
+
+    cap_b = min(fallback_capacity, q)
+    ids_row, valid_row, _ = _compact_bins(bad[None, :], cap_b)
+    ids, valid = ids_row[0], valid_row[0]
+
+    iu_f = iu[ids]  # (B, 4) — integer index gathers (no gradient)
+    iv_f = iv[ids]
+    eu_f = eu[ids]  # differentiable gathers: small, scatter-add transpose
+    ev_f = ev[ids]
+    org_u_f = 2 * (iu_f // 2)
+    org_v_f = 2 * (iv_f // 2)
+    rows_f = (org_v_f // 2) * n_bu + (org_u_f // 2)  # (B, 4)
+    win_f = table[rows_f.reshape(-1)].reshape(cap_b * 4, 8, 8, c)
+    samples_f = extract(
+        win_f,  # (B·4, 8, 8, C) with one "pixel" (p=1) per window
+        (iv_f - org_v_f).reshape(-1, 1),
+        (iu_f - org_u_f).reshape(-1, 1),
+        ev_f.reshape(-1, 1),
+        eu_f.reshape(-1, 1),
+    ).reshape(cap_b, 4, c)
+    # zero invalid slots so no gradient leaks through their (quad-0) gathers
+    samples_f = samples_f * valid[:, None, None].astype(samples_f.dtype)
+    ids_safe = jnp.where(valid, ids, q)  # dummy row for unused slots
+    padded = jnp.concatenate([samples, jnp.zeros((1, 4, c), samples.dtype)], axis=0)
+    return padded.at[ids_safe].set(samples_f)[:q]
 
 
 def safe_barycentric_matrices(v_xy: jnp.ndarray):

@@ -60,6 +60,14 @@ class TilingConfig(NamedTuple):
     # then cost nothing. Size it to the number of occupied tiles
     # (suggest_tiling measures it).
     tex_tile_capacity: int = 0
+    # > 0 enables quad-granular texture fetching in the compacted solid
+    # pass: one 8×8 stride-2 window row per 2×2 screen quad (4× fewer
+    # gather/scatter rows than per-pixel footprints), with quads whose taps
+    # exceed the window (uv seams / minification) re-fetched per pixel
+    # through a compacted fallback list of THIS capacity. Results are
+    # bit-identical to the per-pixel fetch while the capacity holds
+    # (checked via check_capacity).
+    quad_fallback_capacity: int = 0
 
 
 def _exclusive_prefix_count(maskf: jnp.ndarray) -> jnp.ndarray:
@@ -693,7 +701,9 @@ def _finish_shading(scene, vals, z_buffer, background):
     return image
 
 
-def _finish_shading_tile_tex(scene, vals_pad, z_pad, counts, tiling, n_ty, n_tx, background, checks):
+def _finish_shading_tile_tex(
+    scene, vals_pad, z_pad, counts, tiling, n_ty, n_tx, background, checks, interpret=False
+):
     """Tile-compacted variant of :func:`_finish_shading`'s texture fetch.
 
     The per-pixel bilinear gather and its scatter transpose cost ~13
@@ -723,7 +733,42 @@ def _finish_shading_tile_tex(scene, vals_pad, z_pad, counts, tiling, n_ty, n_tx,
     idx = nb_colors
     uv_px = jnp.stack([sel[:, idx], sel[:, idx + 1]], axis=-1)  # (K, th, tw, 2)
     lum = sel[:, idx + 2]
-    tex_px = bilinear_sample(scene.texture, uv_px) * lum[..., None]
+    tex_h, tex_w = scene.texture.shape[0], scene.texture.shape[1]
+    if (
+        tiling.quad_fallback_capacity
+        and th % 2 == 0
+        and tw % 2 == 0
+        and tex_h % 2 == 0
+        and tex_w % 2 == 0
+        and tex_h >= 8
+        and tex_w >= 8
+    ):
+        from deodr_tpu.ops.common import bilinear_sample_quads
+
+        # group pixels into 2×2 screen quads: one window-table row per quad
+        # instead of one footprint row per pixel (see bilinear_sample_quads)
+        def to_quads(a):
+            # (K, th, tw, ...) → (K·th/2·tw/2, 4, ...)
+            chan = a.shape[3:]
+            a = a.reshape((k_cap, th // 2, 2, tw // 2, 2) + chan)
+            a = jnp.moveaxis(a, 2, 3)  # (K, th/2, tw/2, 2, 2, ...)
+            return a.reshape((k_cap * (th // 2) * (tw // 2), 4) + chan)
+
+        use_px = jax.lax.stop_gradient(sel[:, d_total - 1]) > 0.5  # (K, th, tw)
+        samples = bilinear_sample_quads(
+            scene.texture,
+            to_quads(uv_px),
+            to_quads(use_px),
+            tiling.quad_fallback_capacity,
+            checks=checks,
+            use_kernel=True,
+            interpret=interpret,
+        )
+        samples = samples.reshape(k_cap, th // 2, tw // 2, 2, 2, nb_colors)
+        samples = jnp.moveaxis(samples, 3, 2).reshape(k_cap, th, tw, nb_colors)
+        tex_px = samples * lum[..., None]
+    else:
+        tex_px = bilinear_sample(scene.texture, uv_px) * lum[..., None]
     tex_px = jnp.where(jnp.isfinite(tex_px), tex_px, 0.0)
     # invalid slots point at tile 0; zero their rows so the .add is a no-op
     tex_rows = (tex_px * tvalid[:, None, None, None].astype(tex_px.dtype)).reshape(
@@ -844,7 +889,8 @@ def rasterize_tiled_pallas(
     z_buffer = z_pad[:height, :width]
     if scene.texture is not None and tiling.tex_tile_capacity and not persp:
         image = _finish_shading_tile_tex(
-            scene, vals_pad, z_pad, counts, tiling, n_ty, n_tx, background, checks
+            scene, vals_pad, z_pad, counts, tiling, n_ty, n_tx, background, checks,
+            interpret=interpret,
         )
     else:
         vals = jnp.moveaxis(vals_pad, 0, -1)[:height, :width, :]

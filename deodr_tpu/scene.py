@@ -323,9 +323,21 @@ class Scene3D:
         texture,
         backface_culling: bool,
         depth_only_scale: Optional[float] = None,
+        camera_arrays=None,
     ) -> Tuple[SceneBuffers, jnp.ndarray]:
         mesh = self.mesh
-        points_2d, depths = camera.project_points(vertices)
+        if camera_arrays is not None:
+            # traced camera pose: the cached render fns take
+            # extrinsic/intrinsic/distortion as ARGUMENTS, so a new camera
+            # pose re-uses the compiled render instead of recompiling it
+            # (reference keeps project_points pose-parametric too:
+            # deodr/differentiable_renderer.py:341-389)
+            from deodr_tpu.camera import project_points_arrays
+
+            ext, intr, dist = camera_arrays
+            points_2d, depths = project_points_arrays(ext, intr, dist, vertices)
+        else:
+            points_2d, depths = camera.project_points(vertices)
         if self.sigma > 0:
             edgeflags = jax.lax.stop_gradient(mesh.edge_on_silhouette(points_2d))
         else:
@@ -440,8 +452,12 @@ class Scene3D:
                 delta = delta.at[ty1 + 1, tx1 + 1].add(okf)
                 return jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
 
-            def f(vertices):
-                points_2d, depths = camera.project_points(jax.lax.stop_gradient(vertices))
+            def f(vertices, ext, intr, dist):
+                from deodr_tpu.camera import project_points_arrays
+
+                points_2d, depths = project_points_arrays(
+                    ext, intr, dist, jax.lax.stop_gradient(vertices)
+                )
                 pts = points_2d - offset
                 faces = jnp.asarray(mesh.faces)
                 stats = []
@@ -514,22 +530,28 @@ class Scene3D:
 
             return jax.jit(f)
 
-        plan_key = ("plan", self._camera_key(camera), id(self.mesh), self.mesh.nb_vertices,
+        # the plan FN is pose-parametric (extrinsic/intrinsic/distortion are
+        # traced arguments): one compile serves every camera pose of the same
+        # image size. Only the plan RESULT is pose-dependent.
+        plan_key = ("plan", self._camera_static_key(camera), id(self.mesh), self.mesh.nb_vertices,
                     self.mesh.nb_faces, sigma, want_tiling, for_pallas, backface_culling)
-        cache = self.__dict__.setdefault("_jit_cache", {})
-        # unchanged vertices → identical stats: reuse the previous result
-        # (the fetch itself costs a full device roundtrip)
+        cache = self._cache()
+        # unchanged vertices + pose → identical stats: reuse the previous
+        # result (the fetch itself costs a full device roundtrip)
         version = getattr(mesh, "_geometry_version", 0)
+        pose_bytes = self._camera_key(camera)
         cached = cache.get(("plan_result",) + plan_key)
-        if cached is not None and cached[0] == version:
+        if cached is not None and cached[0] == (version, pose_bytes):
             stats = cached[1]
         else:
             plan_fn = cache.get(plan_key)
             if plan_fn is None:
                 plan_fn = make_plan_fn()
                 cache[plan_key] = plan_fn
-            stats = np.asarray(plan_fn(_as_f(mesh.vertices)))  # the ONE sync
-            cache[("plan_result",) + plan_key] = (version, stats)
+            stats = np.asarray(
+                plan_fn(_as_f(mesh.vertices), *self._camera_inputs(camera))
+            )  # the ONE sync
+            cache[("plan_result",) + plan_key] = ((version, pose_bytes), stats)
 
         cap = None
         aa_window = None
@@ -589,10 +611,30 @@ class Scene3D:
             n_tiles_sel = (-(-height // tile_h)) * (-(-width // tile_w))
             occ_tiles = int(stats[8 + 2 * len(tile_h_candidates) + k])
             tex_tile_cap = 0
+            quad_fallback_cap = 0
             if for_pallas and mesh.texture is not None:
                 # multiple-of-8 bucket with margin; capped at the tile count
                 # (at which point compaction is a no-op but still correct)
                 tex_tile_cap = min(max(8, -(-int(occ_tiles * 1.25) // 8) * 8), n_tiles_sel)
+                # quad-granular texture fetch (bilinear_sample_quads): kept
+                # OPT-IN (DEODR_QUAD_FETCH=1). Measured on the duck it cuts
+                # the gather/scatter pair 4.5 → 1.1 ms but loses more than
+                # that to window-table build/unbuild layout shuffles
+                # (strided slices / dilated pads lower to ~90 µs ops inside
+                # the fitting loop) — see PERFORMANCE.md "quad fetch".
+                import os as _os
+
+                tex_hw = mesh.texture.shape[:2]
+                if (
+                    _os.environ.get("DEODR_QUAD_FETCH")
+                    and tile_h % 2 == 0
+                    and tex_hw[0] % 2 == 0
+                    and tex_hw[1] % 2 == 0
+                    and min(tex_hw) >= 8
+                ):
+                    n_quads = tex_tile_cap * (tile_h // 2) * (tile_w // 2)
+                    need = -(-n_quads // 24)
+                    quad_fallback_cap = min(n_quads, max(512, -(-need // 256) * 256))
             tiling = TilingConfig(
                 tile_h=tile_h,
                 tile_w=tile_w,
@@ -605,6 +647,7 @@ class Scene3D:
                 edge_segment_length=48.0,
                 edge_tile_h=edge_tile_h,
                 tex_tile_capacity=tex_tile_cap,
+                quad_fallback_capacity=quad_fallback_cap,
             )
 
         # Pallas textured edge pass: per-segment texture windows + uv-split
@@ -706,15 +749,46 @@ class Scene3D:
         return cap, tiling, aa_window, aa_tex_window, aa_tex_plan
 
     def _camera_key(self, camera: Camera):
+        """Full pose bytes — used only to key cached plan RESULTS, never
+        compiled functions (pose is a traced argument of those)."""
         dist = b"" if camera.distortion is None else camera.distortion.tobytes()
         return (camera.extrinsic.tobytes(), camera.intrinsic.tobytes(), dist, camera.height, camera.width)
 
+    def _camera_static_key(self, camera: Camera):
+        """The camera facts that change compiled shapes/structure: image size
+        and distortion presence. Pose values are traced arguments."""
+        return (camera.height, camera.width, camera.distortion is None)
+
+    def _camera_inputs(self, camera: Camera):
+        """Traced camera arrays for the cached render/plan functions."""
+        return (
+            _as_f(camera.extrinsic),
+            _as_f(camera.intrinsic),
+            None if camera.distortion is None else _as_f(camera.distortion),
+        )
+
+    # compiled fns + plan results; bounded so a long interactive session
+    # (or a sweep over many meshes) cannot grow it without limit
+    _JIT_CACHE_MAX = 128
+
+    def _cache(self):
+        import collections
+
+        cache = self.__dict__.get("_jit_cache")
+        if cache is None:
+            cache = self.__dict__["_jit_cache"] = collections.OrderedDict()
+        return cache
+
     def _get_cached_fn(self, key, make):
-        cache = self.__dict__.setdefault("_jit_cache", {})
+        cache = self._cache()
         fn = cache.get(key)
         if fn is None:
             fn = jax.jit(make())
             cache[key] = fn
+            while len(cache) > self._JIT_CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
         return fn
 
     def _diff_inputs(self, depth_only: bool):
@@ -731,10 +805,14 @@ class Scene3D:
 
     def _render_config(self, camera, backface_culling, depth_only_scale):
         cap, tiling, aa_window, aa_tex_window, aa_tex_plan = self._eager_plan(camera, backface_culling)
-        inputs = self._diff_inputs(depth_only_scale is not None)
+        diff_inputs = self._diff_inputs(depth_only_scale is not None)
+        # camera pose arrays are TRACED arguments: the jit key carries only
+        # shapes and static plan facts, so a moving camera (viewer orbit,
+        # per-view fitting) re-uses one compilation per plan
+        inputs = diff_inputs + self._camera_inputs(camera)
         key = (
             self.impl,
-            self._camera_key(camera),
+            self._camera_static_key(camera),
             id(self.mesh),
             self.mesh.nb_vertices,
             self.mesh.nb_faces,
@@ -746,16 +824,16 @@ class Scene3D:
             aa_tex_plan,
             backface_culling,
             depth_only_scale,
-            tuple(None if x is None else x.shape for x in inputs),
+            tuple(None if x is None else x.shape for x in diff_inputs),
             None if self.background_image is None else self.background_image.tobytes(),
             None if self.background_color is None else self.background_color.tobytes(),
         )
 
         def make_forward():
-            def f(vertices, colors, light_dir, light_amb, uv, texture):
+            def f(vertices, colors, light_dir, light_amb, uv, texture, ext, intr, dist):
                 buffers, _ = self._build_buffers(
                     camera, vertices, colors, light_dir, light_amb, uv, texture,
-                    backface_culling, depth_only_scale,
+                    backface_culling, depth_only_scale, camera_arrays=(ext, intr, dist),
                 )
                 impl_arg = None if self.impl in (None, "auto", "brute") else self.impl
                 image, z_buffer, _ = render_scene(
@@ -789,9 +867,11 @@ class Scene3D:
         def make_bwd():
             f = make_forward()
 
-            def g(vertices, colors, light_dir, light_amb, uv, texture, cotangent):
+            def g(vertices, colors, light_dir, light_amb, uv, texture, ext, intr, dist, cotangent):
                 def image_only(*args):
-                    return f(*args)[0]
+                    # camera pose is traced but NOT differentiated (the
+                    # reference's _b surface has no pose gradients either)
+                    return f(*args, ext, intr, dist)[0]
 
                 _, vjp = jax.vjp(image_only, vertices, colors, light_dir, light_amb, uv, texture)
                 return vjp(cotangent)

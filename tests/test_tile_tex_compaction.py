@@ -93,6 +93,37 @@ def test_tile_tex_capacity_overflow_raises():
         render_scene_checked(scene, 0.0, tiling=tiny, impl="pallas", impl_interpret=True)
 
 
+def test_quad_fetch_matches_per_pixel_fetch():
+    """quad_fallback_capacity routes the compacted solid pass's texture
+    fetch through one 8×8 window row per 2×2 screen quad; values and all
+    gradients must be bit-identical to the per-pixel footprint fetch when
+    the fallback capacity holds (random per-corner uv makes most quads
+    straddle 'seams', so this exercises the fallback hard)."""
+    scene = _textured_scene(seed=7)
+    base = TilingConfig(
+        tile_h=8, tile_w=128, triangle_capacity=32, edge_capacity=32, tex_tile_capacity=8
+    )
+    quad = base._replace(quad_fallback_capacity=2048)  # ≥ n_quads: no overflow
+    v0, g0 = _grads(scene, base, "pallas")
+    v1, g1 = _grads(scene, quad, "pallas")
+    assert np.allclose(float(v0), float(v1), rtol=0, atol=1e-12)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_quad_fallback_overflow_is_loud():
+    from deodr_tpu.ops.render import render_scene_checked
+    import pytest
+
+    scene = _textured_scene(seed=7)
+    tiny = TilingConfig(
+        tile_h=8, tile_w=128, triangle_capacity=32, edge_capacity=32,
+        tex_tile_capacity=8, quad_fallback_capacity=1,
+    )
+    with pytest.raises(Exception, match="quad-fetch fallback compaction overflow"):
+        render_scene_checked(scene, 0.0, tiling=tiny, impl="pallas", impl_interpret=True)
+
+
 def test_footprint_table_gradients_match_reference_rolls():
     """The hand-written matmul transpose of the footprint table must equal
     the autodiff transpose of the roll-based build."""

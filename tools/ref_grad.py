@@ -14,15 +14,22 @@ C core.
 
 from __future__ import annotations
 
+import getpass
 import os
 import subprocess
+import tempfile
 from typing import Optional
 
 import numpy as np
 
 _REF_INCLUDE = "/root/reference/C++"
 _TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
-_BIN = "/tmp/ref_grad_dump_bin"
+# per-user cache dir (not a fixed world-writable /tmp path) — parallel pytest
+# workers or other users cannot race/overwrite each other's binary
+_CACHE_DIR = os.path.join(
+    tempfile.gettempdir(), f"deodr_tpu_refgrad_{getpass.getuser()}"
+)
+_BIN = os.path.join(_CACHE_DIR, "ref_grad_dump_bin")
 
 
 def reference_available() -> bool:
@@ -30,14 +37,23 @@ def reference_available() -> bool:
 
 
 def ensure_tool() -> str:
-    """Compile ref_grad_dump.cpp once (cached on mtime)."""
+    """Compile ref_grad_dump.cpp once (cached on mtime; atomic publish).
+
+    The compile writes to a pid-suffixed temp name and ``os.replace``s it
+    into place, so concurrent pytest-xdist workers that both decide to
+    (re)build each produce a complete binary and the loser's rename simply
+    wins last — no worker ever executes a half-written file.
+    """
     src = os.path.join(_TOOLS_DIR, "ref_grad_dump.cpp")
     if not os.path.exists(_BIN) or os.path.getmtime(_BIN) < os.path.getmtime(src):
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp_bin = f"{_BIN}.tmp.{os.getpid()}"
         subprocess.run(
-            ["g++", "-O2", "-std=c++14", f"-I{_REF_INCLUDE}", src, "-o", _BIN],
+            ["g++", "-O2", "-std=c++14", f"-I{_REF_INCLUDE}", src, "-o", tmp_bin],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp_bin, _BIN)
     return _BIN
 
 
@@ -97,14 +113,19 @@ def run_ref_grad(
     image_b: Optional[np.ndarray] = None,
     obs: Optional[np.ndarray] = None,
     err_buffer_b: Optional[np.ndarray] = None,
-    stem: str = "/tmp/ref_grad_scene",
+    stem: Optional[str] = None,
 ) -> dict:
     """Run the reference forward+adjoint; returns dict of numpy arrays.
 
     Image mode: pass ``image_b`` (H, W, C) as the adjoint seed.
     Error mode: pass ``obs`` (H, W, C) and ``err_buffer_b`` (H, W).
+
+    ``stem`` defaults to a fresh per-call temp dir (safe under parallel
+    pytest workers); tests typically pass ``tmp_path``-based stems.
     """
     tool = ensure_tool()
+    if stem is None:
+        stem = os.path.join(tempfile.mkdtemp(prefix="ref_grad_"), "scene")
     dump_buffers(b, stem)
     error_mode = err_buffer_b is not None
     cfg = np.fromfile(stem + ".cfg", np.int32)
