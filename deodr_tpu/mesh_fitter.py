@@ -207,6 +207,19 @@ class _FitterRenderCore:
                 n = max(1, int(math.ceil(n * margin)))
                 return max(8, int(2 ** math.ceil(math.log2(n))))
 
+            # two-level binning guard for large fits: the supertile occupancy
+            # is not in the fitter's stats vector, but it is bounded by the
+            # sum of its member tiles' occupancies — use that (safe, never
+            # drops items) rather than adding another stats round-trip
+            super_ty = super_tx = super_capacity = 0
+            n_tiles_sel = (-(-height // tile_h)) * (-(-width // tile_w))
+            if n_tiles_sel * max(mesh.nb_faces, 1) > (1 << 22):
+                from deodr_tpu.scene import _SUPER_TY, _SUPER_TX
+
+                super_ty, super_tx = _SUPER_TY, _SUPER_TX
+                super_capacity = bucket(
+                    min(mesh.nb_faces, max(tri_cap, 1) * super_ty * super_tx)
+                )
             tiling = TilingConfig(
                 tile_h=tile_h,
                 tile_w=tile_w,
@@ -214,6 +227,9 @@ class _FitterRenderCore:
                 edge_capacity=bucket(edge_cap),
                 edge_split=1,
                 edge_segment_length=48.0,
+                super_ty=super_ty,
+                super_tx=super_tx,
+                super_capacity=super_capacity,
             )
 
         # plan hysteresis: geometry evolving across fitting iterations makes

@@ -68,6 +68,15 @@ class TilingConfig(NamedTuple):
     # bit-identical to the per-pixel fetch while the capacity holds
     # (checked via check_capacity).
     quad_fallback_capacity: int = 0
+    # two-level binning (see _bin_to_tiles_hier): when super_capacity > 0,
+    # triangles are first binned to supertiles of (super_ty × super_tx)
+    # tiles compacted to super_capacity candidates each, and only those are
+    # binned to tiles. Cuts the binning mask from O(n_tiles·N) to
+    # O(n_super·N + n_tiles·super_capacity) — required for 100k-face
+    # meshes / 2048² framebuffers where the dense mask alone would be GBs.
+    super_ty: int = 0
+    super_tx: int = 0
+    super_capacity: int = 0
 
 
 def _exclusive_prefix_count(maskf: jnp.ndarray) -> jnp.ndarray:
@@ -85,6 +94,103 @@ def _exclusive_prefix_count(maskf: jnp.ndarray) -> jnp.ndarray:
     offs = jnp.cumsum(chunk_tot, axis=1) - chunk_tot  # tiny (B ~ N/128)
     rank = within + offs[:, :, None]
     return rank.reshape(tn, -1)[:, :n]
+
+
+def _bin_boxes(tiling, x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, capacity, checks=None):
+    """Dispatch bbox binning: two-level when the TilingConfig enables it
+    (and the grid is actually coarser than one supertile), dense otherwise."""
+    th, tw = tiling.tile_h, tiling.tile_w
+    if tiling.super_capacity and (n_ty > tiling.super_ty or n_tx > tiling.super_tx):
+        return _bin_to_tiles_hier(
+            x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, th, tw, capacity,
+            (tiling.super_ty, tiling.super_tx), tiling.super_capacity, checks=checks,
+        )
+    return _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, th, tw, capacity)
+
+
+def _bin_to_tiles_hier(
+    x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, capacity,
+    super_shape, super_capacity, checks=None,
+):
+    """Two-level (supertile → tile) binning for large scenes.
+
+    The single-level binner materializes an (n_tiles, N) membership mask
+    plus its prefix counts — ~2.4 kB per triangle at 640×480/8-row tiles,
+    hopeless at 100k faces or 2048² framebuffers. This version first bins
+    items to coarse SUPERTILES of ``super_shape = (s_ty, s_tx)`` tiles
+    (mask n_super × N with n_super ~ tens), compacts each supertile's
+    candidates to the static ``super_capacity``, then bins only those
+    candidates to the supertile's member tiles (mask n_super × s_ty·s_tx ×
+    K_s). Peak memory drops from O(n_tiles·N) to O(n_super·N +
+    n_tiles·K_s). Both compactions are stable, so items keep their global
+    relative order inside each tile bin — the invariant the edge pass's
+    depth ordering relies on. Supertile overflow drops lowest-priority
+    items exactly like tile-capacity overflow (surfaced via ``checks``).
+
+    Returns (slots (n_tiles, K), slot_valid, counts) like _bin_to_tiles.
+    """
+    s_ty, s_tx = super_shape
+    n_sy = -(-n_ty // s_ty)
+    n_sx = -(-n_tx // s_tx)
+    n_super = n_sy * n_sx
+    n = x_lo.shape[0]
+    ks = min(super_capacity, n)
+
+    ix0 = jnp.floor_divide(x_lo.astype(jnp.int32), tile_w)
+    ix1 = jnp.floor_divide(x_hi.astype(jnp.int32), tile_w)
+    iy0 = jnp.floor_divide(y_lo.astype(jnp.int32), tile_h)
+    iy1 = jnp.floor_divide(y_hi.astype(jnp.int32), tile_h)
+    nonempty = valid & (x_lo <= x_hi) & (y_lo <= y_hi)
+
+    # coarse: supertile membership (n_super, N)
+    sys_ = jnp.arange(n_sy)[:, None, None]
+    sxs = jnp.arange(n_sx)[None, :, None]
+    sy0 = iy0[None, None, :] // s_ty
+    sy1 = iy1[None, None, :] // s_ty
+    sx0 = ix0[None, None, :] // s_tx
+    sx1 = ix1[None, None, :] // s_tx
+    mask_s = (
+        nonempty[None, None, :]
+        & (sys_ >= sy0) & (sys_ <= sy1)
+        & (sxs >= sx0) & (sxs <= sx1)
+    ).reshape(n_super, n)
+    slots_s, valid_s, counts_s = _compact_bins(mask_s, ks)
+    ks = slots_s.shape[1]
+    if checks is not None:
+        checks.append(("supertile bin", jnp.max(counts_s), ks))
+
+    # fine: per supertile, bin its candidates to member tiles. Gather the
+    # candidates' tile ranges (no gradients flow through binning).
+    cand_ix0 = ix0[slots_s]  # (n_super, Ks)
+    cand_ix1 = ix1[slots_s]
+    cand_iy0 = iy0[slots_s]
+    cand_iy1 = iy1[slots_s]
+    cand_ok = valid_s & nonempty[slots_s]
+
+    mty = jnp.arange(s_ty)[None, :, None, None]  # member tile coords
+    mtx = jnp.arange(s_tx)[None, None, :, None]
+    base_ty = (jnp.arange(n_super) // n_sx * s_ty)[:, None, None, None]
+    base_tx = (jnp.arange(n_super) % n_sx * s_tx)[:, None, None, None]
+    g_ty = base_ty + mty  # (n_super, s_ty, 1, 1)
+    g_tx = base_tx + mtx
+    mask_f = (
+        cand_ok[:, None, None, :]
+        & (g_ty >= cand_iy0[:, None, None, :]) & (g_ty <= cand_iy1[:, None, None, :])
+        & (g_tx >= cand_ix0[:, None, None, :]) & (g_tx <= cand_ix1[:, None, None, :])
+    ).reshape(n_super * s_ty * s_tx, ks)
+    slots_local, slot_valid_f, counts_f = _compact_bins(mask_f, capacity)
+    k = slots_local.shape[1]
+    # local slot → global item id via the supertile candidate list
+    slots_g = jnp.take_along_axis(
+        jnp.repeat(slots_s, s_ty * s_tx, axis=0), slots_local, axis=1
+    )
+
+    # (super, member) tile order → global (ty, tx) order; tiles padded past
+    # the framebuffer edge are dropped
+    s_idx = jnp.arange(n_ty)[:, None] // s_ty * n_sx + jnp.arange(n_tx)[None, :] // s_tx
+    m_idx = (jnp.arange(n_ty)[:, None] % s_ty) * s_tx + jnp.arange(n_tx)[None, :] % s_tx
+    perm = (s_idx * (s_ty * s_tx) + m_idx).reshape(-1)
+    return slots_g[perm], slot_valid_f[perm], counts_f[perm]
 
 
 def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, capacity):
@@ -308,8 +414,9 @@ def find_winners_tiled(
     setup = triangle_row_setup(v_xy, v_z, draw, width, height, strict_edge, perspective_correct)
     y_lo_all = setup.y_lo[:, 0]
     y_hi_all = setup.y_hi[:, 1]
-    slots, slot_valid, counts = _bin_to_tiles(
-        setup.x_lo, setup.x_hi, y_lo_all, y_hi_all, setup.valid, n_ty, n_tx, th, tw, tiling.triangle_capacity
+    slots, slot_valid, counts = _bin_boxes(
+        tiling, setup.x_lo, setup.x_hi, y_lo_all, y_hi_all, setup.valid,
+        n_ty, n_tx, tiling.triangle_capacity,
     )
 
     big = jnp.asarray(jnp.inf, dtype)
@@ -369,9 +476,9 @@ def _winner_slots_tiled(setup: TriangleRowSetup, width, height, strict_edge, per
     n_tx = -(-width // tw)
     cap = tiling.triangle_capacity
 
-    slots, slot_valid, counts = _bin_to_tiles(
-        setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
-        n_ty, n_tx, th, tw, cap,
+    slots, slot_valid, counts = _bin_boxes(
+        tiling, setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
+        n_ty, n_tx, cap,
     )
     cap = slots.shape[1]  # may be < capacity when there are few triangles
     big = jnp.asarray(jnp.inf, dtype)
@@ -859,9 +966,9 @@ def rasterize_tiled_pallas(
         jax.lax.stop_gradient(v_xy), jax.lax.stop_gradient(v_z), draw,
         width, height, scene.strict_edge, persp,
     )
-    slots, slot_valid, counts = _bin_to_tiles(
-        setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
-        n_ty, n_tx, th, tw, tiling.triangle_capacity,
+    slots, slot_valid, counts = _bin_boxes(
+        tiling, setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
+        n_ty, n_tx, tiling.triangle_capacity, checks=checks,
     )
     cap = slots.shape[1]
 
@@ -942,18 +1049,22 @@ def suggest_tiling(
     n_ty = -(-height // tile_h)
     n_tx = -(-width // tile_w)
 
-    def occupancy(x_lo, x_hi, y_lo, y_hi, valid):
-        tx0 = _np.clip(x_lo // tile_w, 0, n_tx - 1).astype(int)
-        tx1 = _np.clip(x_hi // tile_w, 0, n_tx - 1).astype(int)
-        ty0 = _np.clip(y_lo // tile_h, 0, n_ty - 1).astype(int)
-        ty1 = _np.clip(y_hi // tile_h, 0, n_ty - 1).astype(int)
+    def occupancy(x_lo, x_hi, y_lo, y_hi, valid, gh=None, gw=None, gny=None, gnx=None):
+        gh = tile_h if gh is None else gh
+        gw = tile_w if gw is None else gw
+        gny = n_ty if gny is None else gny
+        gnx = n_tx if gnx is None else gnx
+        tx0 = _np.clip(x_lo // gw, 0, gnx - 1).astype(int)
+        tx1 = _np.clip(x_hi // gw, 0, gnx - 1).astype(int)
+        ty0 = _np.clip(y_lo // gh, 0, gny - 1).astype(int)
+        ty1 = _np.clip(y_hi // gh, 0, gny - 1).astype(int)
         ok = valid & (x_lo <= x_hi) & (y_lo <= y_hi)
-        delta = _np.zeros((n_ty + 1, n_tx + 1))
+        delta = _np.zeros((gny + 1, gnx + 1))
         _np.add.at(delta, (ty0[ok], tx0[ok]), 1)
         _np.add.at(delta, (ty1[ok] + 1, tx0[ok]), -1)
         _np.add.at(delta, (ty0[ok], tx1[ok] + 1), -1)
         _np.add.at(delta, (ty1[ok] + 1, tx1[ok] + 1), 1)
-        counts = _np.cumsum(_np.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
+        counts = _np.cumsum(_np.cumsum(delta, axis=0), axis=1)[:gny, :gnx]
         return int(counts.max()) if counts.size else 0
 
     tri = ij[faces]
@@ -995,6 +1106,18 @@ def suggest_tiling(
             return max(8, -(-n // 8) * 8)  # round up to a multiple of 8
         return max(8, int(2 ** math.ceil(math.log2(n))))
 
+    # two-level binning once the dense (n_tiles × N) mask would be large;
+    # supertile capacity measured at the coarse granularity
+    super_ty = super_tx = super_capacity = 0
+    if n_ty * n_tx * max(len(faces), 1) > (1 << 22):
+        super_ty, super_tx = 8, 4
+        s_occ = occupancy(
+            x_lo, x_hi, y_lo, y_hi, _np.ones(len(faces), bool),
+            gh=tile_h * super_ty, gw=tile_w * super_tx,
+            gny=-(-n_ty // super_ty), gnx=-(-n_tx // super_tx),
+        )
+        super_capacity = bucket(max(s_occ, 8))
+
     return TilingConfig(
         tile_h=tile_h,
         tile_w=tile_w,
@@ -1002,6 +1125,9 @@ def suggest_tiling(
         edge_capacity=bucket(edge_cap),
         edge_split=edge_split,
         edge_segment_length=seg_len,
+        super_ty=super_ty,
+        super_tx=super_tx,
+        super_capacity=super_capacity,
     )
 
 

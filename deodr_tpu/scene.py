@@ -24,6 +24,14 @@ from deodr_tpu.geometry.mesh import ColoredTriMesh
 from deodr_tpu.ops.render import SceneBuffers, render_scene, render_scene_jit
 
 
+# supertile shape (in tiles) used by the planner when it enables two-level
+# binning (ops.tiled._bin_to_tiles_hier): supertiles of 8 tile-rows × 4
+# tile-cols keep n_super in the tens at 2048² while each covers a big
+# enough region that coarse occupancy stays well below the item count
+_SUPER_TY = 8
+_SUPER_TX = 4
+
+
 def _jit_scene2d_grads_factory():
     @partial(jax.jit, static_argnames=("sigma", "antialiase_error", "aa_edge_capacity"))
     def grads(buffers, sigma, antialiase_error, obs, cotangent, aa_edge_capacity):
@@ -507,6 +515,7 @@ class Scene3D:
                         p0 = pts[i0] * flat[:, None]
                         p1 = pts[i1] * flat[:, None]
                     occupied_tiles = []
+                    super_occ = []
                     for th in tile_h_candidates:
                         n_ty = -(-height // th)
                         n_tx = -(-width // tile_w)
@@ -521,11 +530,23 @@ class Scene3D:
                             stats.append(m.sum(axis=1).max())
                         else:
                             stats.append(jnp.zeros(()))
+                        # supertile occupancy (two-level binning candidates):
+                        # supertiles of SUPER_SHAPE tiles
+                        n_sy = -(-n_ty // _SUPER_TY)
+                        n_sx = -(-n_tx // _SUPER_TX)
+                        super_occ.append(
+                            occupancy_counts(
+                                x_lo, x_hi, y_lo, y_hi, drawn,
+                                n_sy, n_sx, th * _SUPER_TY, tile_w * _SUPER_TX,
+                            ).max()
+                        )
                     stats.append(drawn.sum())
                     # trailing (index 8 + 2·len(candidates) + k): tiles with a
                     # non-empty triangle bin, per tile-height candidate — sizes
                     # TilingConfig.tex_tile_capacity (tile-compacted texturing)
                     stats += occupied_tiles
+                    # then supertile max occupancies, per candidate
+                    stats += super_occ
                 return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
 
             return jax.jit(f)
@@ -607,9 +628,11 @@ class Scene3D:
                 n = max(1, int(math.ceil(n * margin)))
                 return max(8, int(2 ** math.ceil(math.log2(n))))
 
-            n_drawn = int(stats[7 + 2 * len(tile_h_candidates)])
+            n_cand = len(tile_h_candidates)
+            n_drawn = int(stats[7 + 2 * n_cand])
             n_tiles_sel = (-(-height // tile_h)) * (-(-width // tile_w))
-            occ_tiles = int(stats[8 + 2 * len(tile_h_candidates) + k])
+            occ_tiles = int(stats[8 + 2 * n_cand + k])
+            super_occ_sel = int(stats[8 + 3 * n_cand + k])
             tex_tile_cap = 0
             quad_fallback_cap = 0
             if for_pallas and mesh.texture is not None:
@@ -635,6 +658,14 @@ class Scene3D:
                     n_quads = tex_tile_cap * (tile_h // 2) * (tile_w // 2)
                     need = -(-n_quads // 24)
                     quad_fallback_cap = min(n_quads, max(512, -(-need // 256) * 256))
+            # two-level binning once the dense (n_tiles × N) mask would be
+            # large (N = post-compaction triangle count); the supertile
+            # capacity comes from the measured coarse occupancy
+            super_ty = super_tx = super_capacity = 0
+            n_bin_items = n_drawn if for_pallas else mesh.nb_faces
+            if n_tiles_sel * max(n_bin_items, 1) > (1 << 22):
+                super_ty, super_tx = _SUPER_TY, _SUPER_TX
+                super_capacity = bucket(max(super_occ_sel, 8))
             tiling = TilingConfig(
                 tile_h=tile_h,
                 tile_w=tile_w,
@@ -648,6 +679,9 @@ class Scene3D:
                 edge_tile_h=edge_tile_h,
                 tex_tile_capacity=tex_tile_cap,
                 quad_fallback_capacity=quad_fallback_cap,
+                super_ty=super_ty,
+                super_tx=super_tx,
+                super_capacity=super_capacity,
             )
 
         # Pallas textured edge pass: per-segment texture windows + uv-split
@@ -712,6 +746,16 @@ class Scene3D:
                 and (
                     (tiling.tex_tile_capacity == 0 and l_tiling.tex_tile_capacity == 0)
                     or occ_tiles <= l_tiling.tex_tile_capacity <= 4 * max(tiling.tex_tile_capacity, 8)
+                )
+                and (
+                    (tiling.super_capacity == 0 and l_tiling.super_capacity == 0)
+                    or (
+                        (tiling.super_ty, tiling.super_tx)
+                        == (l_tiling.super_ty, l_tiling.super_tx)
+                        and super_occ_sel
+                        <= l_tiling.super_capacity
+                        <= 4 * max(tiling.super_capacity, 8)
+                    )
                 )
             ):
                 tiling = l_tiling
