@@ -146,17 +146,86 @@ def main():
         f"(vs single-core C {BASELINE_FWDBWD_MPIX_S_SIGMA1}: {mpix_s1 / BASELINE_FWDBWD_MPIX_S_SIGMA1:.2f}x)",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "fwd+bwd render throughput, 512x512, 200 tris, sigma=0, grads wrt ij+colors"
-                f" (sigma=1: {round(mpix_s1, 1)} Mpix/s, {round(mpix_s1 / BASELINE_FWDBWD_MPIX_S_SIGMA1, 2)}x C)",
-                "value": round(mpix_s0, 2),
-                "unit": "Mpix/s/chip",
-                "vs_baseline": round(mpix_s0 / BASELINE_FWDBWD_MPIX_S_SIGMA0, 2),
-            }
+
+    # flagship scene: the duck (4212 faces, 512² texture, 640×480, σ=1,
+    # full gradients incl. texture) — the reference C++ core on the same
+    # 2.5D scene takes 12.6 ms/iter fwd+bwd (tools/duck_baseline.cpp).
+    # Captured here so the driver records it, not only the docs.
+    duck_ms = None
+    try:
+        duck_ms = measure_duck()
+        print(f"duck sigma=1 fwd+bwd: {duck_ms:.2f} ms/iter (reference C core: 12.6)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover - keep the primary metric alive
+        print(f"duck bench skipped: {e!r}", file=sys.stderr)
+
+    record = {
+        "metric": "fwd+bwd render throughput, 512x512, 200 tris, sigma=0, grads wrt ij+colors"
+        f" (sigma=1: {round(mpix_s1, 1)} Mpix/s, {round(mpix_s1 / BASELINE_FWDBWD_MPIX_S_SIGMA1, 2)}x C)",
+        "value": round(mpix_s0, 2),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s0 / BASELINE_FWDBWD_MPIX_S_SIGMA0, 2),
+    }
+    if duck_ms is not None:
+        record["duck_sigma1_ms"] = round(duck_ms, 2)
+        record["duck_ref_cpp_ms"] = 12.6
+    print(json.dumps(record))
+
+
+def measure_duck(iters: int = 15) -> float:
+    """Duck-scene σ=1 fwd+bwd ms/iter, dependency-chained on device
+    (condensed tools/duck_tpu_bench.py)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    import deodr_tpu
+    from deodr_tpu import ColoredTriMesh, default_camera
+    from deodr_tpu.ops.render import render_scene
+    from deodr_tpu.scene import Scene3D
+
+    mesh = ColoredTriMesh.load(os.path.join(deodr_tpu.data_path, "duck.obj"))
+    rot = np.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]])
+    camera = default_camera(640, 480, 60, np.asarray(mesh.vertices), rot)
+    scene = Scene3D(sigma=1.0)
+    scene.set_mesh(mesh)
+    scene.set_light(np.array([-0.4, -0.4, -0.8]), 0.4)
+    scene.set_background_color(np.array([0.2, 0.3, 0.5]))
+    cap, tiling, aa_window, aa_tex_window, aa_tex_plan = scene._eager_plan(camera)
+    buffers, _ = scene._build_buffers(camera, *scene._diff_inputs(False), True, None)
+    buffers = jax.tree.map(jnp.asarray, buffers)
+
+    def render(buf):
+        image, _, _ = render_scene(
+            buf, 1.0, aa_edge_capacity=cap, tiling=tiling, impl=None,
+            aa_window=aa_window, aa_tex_window=aa_tex_window, aa_tex_plan=aa_tex_plan,
         )
-    )
+        return image
+
+    obs = jnp.clip(jax.jit(render)(buffers) + 0.05, 0.0, 1.0)
+
+    def one_step(params):
+        ij, uv, shade, texture = params
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.sum(
+                (render(dataclasses.replace(buffers, ij=p[0], uv=p[1], shade=p[2], texture=p[3])) - obs) ** 2
+            )
+        )(params)
+        return jax.tree.map(lambda p, g: p - 1e-12 * g, params, grads), loss
+
+    @jax.jit
+    def chained(params):
+        return jax.lax.scan(lambda p, _: one_step(p), params, None, length=iters)
+
+    params0 = (buffers.ij, buffers.uv, buffers.shade, buffers.texture)
+    jax.block_until_ready(chained(params0))
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(chained(params0))
+        dt = (time.time() - t0) / iters * 1e3
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 if __name__ == "__main__":

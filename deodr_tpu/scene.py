@@ -33,12 +33,13 @@ _SUPER_TX = 4
 
 
 def _jit_scene2d_grads_factory():
-    @partial(jax.jit, static_argnames=("sigma", "antialiase_error", "aa_edge_capacity"))
-    def grads(buffers, sigma, antialiase_error, obs, cotangent, aa_edge_capacity):
+    @partial(jax.jit, static_argnames=("sigma", "antialiase_error", "aa_edge_capacity", "tiling"))
+    def grads(buffers, sigma, antialiase_error, obs, cotangent, aa_edge_capacity, tiling=None):
         def f(ij, colors, uv, shade, texture):
             b = dataclasses.replace(buffers, ij=ij, colors=colors, uv=uv, shade=shade, texture=texture)
             image, _, err = render_scene(
-                b, sigma, antialiase_error=antialiase_error, obs=obs, aa_edge_capacity=aa_edge_capacity
+                b, sigma, antialiase_error=antialiase_error, obs=obs,
+                aa_edge_capacity=aa_edge_capacity, tiling=tiling,
             )
             return err if antialiase_error else image
         _, vjp = jax.vjp(f, buffers.ij, buffers.colors, buffers.uv, buffers.shade, buffers.texture)
@@ -112,6 +113,13 @@ class Scene2D:
         self.colors_b = np.zeros(self.colors.shape)
         self.texture_b = np.zeros(self.texture.shape)
         self._store: Optional[Tuple] = None
+        # full validation (incl. index ranges) once at construction; the
+        # render entry points re-check shapes per call since fields are
+        # mutable — mirrors the reference's validate-on-every-render
+        # (reference: deodr/differentiable_renderer.py:48-126)
+        from deodr_tpu.validate import validate_scene_buffers
+
+        validate_scene_buffers(self._buffers(*self._diff_inputs()), check_indices=True)
 
     # -- functional core -----------------------------------------------------
 
@@ -156,6 +164,28 @@ class Scene2D:
             return None
         return int(np.sum(self.edgeflags))
 
+    def _plan_tiling(self, sigma):
+        """Tiled-path plan for large direct-2D scenes (round 2 review: the
+        Scene2D path previously always paid the brute-force O(H·W·T) render
+        in BOTH directions). Small scenes (≤ 256 faces — all the reference's
+        2D test scenes) keep the brute path; capacities use power-of-two
+        buckets so jit keys stay stable while the scene evolves."""
+        if self.faces.shape[0] <= 256:
+            return None
+        from deodr_tpu.ops.render import default_impl
+        from deodr_tpu.ops.tiled import suggest_tiling
+
+        offset = 0.0 if self.integer_pixel_centers else 0.5
+        return suggest_tiling(
+            self.ij - offset,
+            self.faces,
+            self.height,
+            self.width,
+            sigma=float(sigma),
+            edgeflags=self.edgeflags if sigma > 0 else None,
+            for_pallas=(default_impl() == "pallas"),
+        )
+
     def clear_gradients(self) -> None:
         self.uv_b = np.zeros(self.uv.shape)
         self.ij_b = np.zeros(self.ij.shape)
@@ -163,23 +193,35 @@ class Scene2D:
         self.colors_b = np.zeros(self.colors.shape)
         self.texture_b = np.zeros(self.texture.shape)
 
+    def _validated_buffers(self) -> SceneBuffers:
+        from deodr_tpu.validate import validate_scene_buffers
+
+        buffers = self._buffers(*self._diff_inputs())
+        validate_scene_buffers(buffers, check_indices=False)  # shapes only: no sync
+        return buffers
+
     def render(self, sigma: float = 1):
         """Returns (image, z_buffer)."""
         cap = self._aa_capacity(sigma)
-        buffers = self._buffers(*self._diff_inputs())
-        image, z_buffer, _ = render_scene_jit(buffers, float(sigma), aa_edge_capacity=cap)
-        self._store = ("image", float(sigma), cap, buffers, None)
+        tiling = self._plan_tiling(sigma)
+        buffers = self._validated_buffers()
+        image, z_buffer, _ = render_scene_jit(
+            buffers, float(sigma), aa_edge_capacity=cap, tiling=tiling, impl=None
+        )
+        self._store = ("image", float(sigma), cap, buffers, None, tiling)
         return jax.device_get((image, z_buffer))
 
     def render_error(self, obs, sigma: float = 1):
         """Returns (image, z_buffer, err_buffer) in antialiased-residual mode."""
         obs_j = _as_f(obs)
         cap = self._aa_capacity(sigma)
-        buffers = self._buffers(*self._diff_inputs())
+        tiling = self._plan_tiling(sigma)
+        buffers = self._validated_buffers()
         image, z_buffer, err_buffer = render_scene_jit(
-            buffers, float(sigma), antialiase_error=True, obs=obs_j, aa_edge_capacity=cap
+            buffers, float(sigma), antialiase_error=True, obs=obs_j, aa_edge_capacity=cap,
+            tiling=tiling, impl=None,
         )
-        self._store = ("error", float(sigma), cap, buffers, obs_j)
+        self._store = ("error", float(sigma), cap, buffers, obs_j, tiling)
         return jax.device_get((image, z_buffer, err_buffer))
 
     def _check_backward_supported(self):
@@ -205,15 +247,15 @@ class Scene2D:
     def render_backward(self, image_b, make_copies: bool = True) -> None:
         self._check_backward_supported()
         assert self._store is not None and self._store[0] == "image", "call render first"
-        _, sigma, cap, buffers, _ = self._store
-        grads = _scene2d_grads(buffers, sigma, False, None, _as_f(image_b), cap)
+        _, sigma, cap, buffers, _, tiling = self._store
+        grads = _scene2d_grads(buffers, sigma, False, None, _as_f(image_b), cap, tiling)
         self._accumulate_grads(grads)
 
     def render_error_backward(self, err_buffer_b, make_copies: bool = True) -> None:
         self._check_backward_supported()
         assert self._store is not None and self._store[0] == "error", "call render_error first"
-        _, sigma, cap, buffers, obs_j = self._store
-        grads = _scene2d_grads(buffers, sigma, True, obs_j, _as_f(err_buffer_b), cap)
+        _, sigma, cap, buffers, obs_j, tiling = self._store
+        grads = _scene2d_grads(buffers, sigma, True, obs_j, _as_f(err_buffer_b), cap, tiling)
         self._accumulate_grads(grads)
 
     def render_compare_and_backward(
@@ -710,16 +752,22 @@ class Scene3D:
                 n_split, seg_cap = 1, 0
                 n_windows = cap
             else:
-                kwh, kww = min(16, tex_h), min(16, tex_w)
-                n_split = pow2(np.ceil(span / 12.0), 2)
-                seg_cap = max(64, -(-int(float(stats[5]) * 1.2) // 64) * 64)
+                # 8×8 windows over ~6-texel segments measured faster than
+                # 16×16 over 12-texel ones on the duck (14.49 vs 14.65
+                # ms/iter): the per-slot soft-one-hot matmuls shrink 4x
+                # while the segment count only doubles. stats[5] counted
+                # segments at 12-texel granularity — scale by 2.
+                kwh, kww = min(8, tex_h), min(8, tex_w)
+                n_split = pow2(np.ceil(span / 6.0), 2)
+                seg_cap = max(64, -(-int(float(stats[5]) * 2.0 * 1.2) // 64) * 64)
                 n_windows = seg_cap
             nb_c = mesh.texture.shape[2] if mesh.texture.ndim == 3 else 1
             vmem_bytes = 2 * n_windows * nb_c * kwh * kww * 4
             if vmem_bytes <= 32 << 20:
+                seg_len = 6.0 if seg_cap else 12.0
                 aa_tex_plan = EdgeTexPlan(
                     win_h=kwh, win_w=kww, n_split=n_split,
-                    seg_capacity=seg_cap, uv_segment_length=12.0,
+                    seg_capacity=seg_cap, uv_segment_length=seg_len,
                 )
 
         # plan hysteresis: keep the previous plan while it still FITS the

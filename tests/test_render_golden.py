@@ -61,8 +61,11 @@ def test_render_mesh_duck() -> None:
     ).astype(np.int64)
     image_uint8 = (image * 255).astype(np.uint8).astype(np.int64)
     diff = np.abs(golden - image_uint8).max(axis=-1)
-    # reference asserts bit-exact against its own C core; we allow a small
-    # budget of pixels with ≥2/255 deviation (AA blend order and float
-    # associativity differ slightly)
-    assert (diff >= 2).sum() <= 20, f"{(diff >= 2).sum()} pixels deviate by >=2/255"
-    assert (diff >= 8).sum() == 0, f"max deviation {diff.max()}"
+    # measured: ZERO pixels deviate by >= 1/255 on this suite's f64 CPU
+    # configuration — matching the reference's own bit-exact-after-
+    # quantization criterion (reference: tests/test_render_mesh.py:20-27).
+    # Pin with a 3-pixel budget at 1/255 (the reference grants its GL
+    # oracle 3 pixels at 15/255, deodr/examples/render_mesh.py:149) and
+    # absolutely none at >= 2/255.
+    assert (diff >= 1).sum() <= 3, f"{(diff >= 1).sum()} pixels deviate by >=1/255"
+    assert (diff >= 2).sum() == 0, f"max deviation {diff.max()}"
