@@ -171,7 +171,7 @@ def main():
     print(json.dumps(record))
 
 
-def measure_duck(iters: int = 15) -> float:
+def measure_duck(iters: int = 20) -> float:
     """Duck-scene σ=1 fwd+bwd ms/iter, dependency-chained on device
     (condensed tools/duck_tpu_bench.py)."""
     import os
