@@ -1,0 +1,206 @@
+"""Torch class surface: CameraTorch + Scene3DTorch.
+
+Mirrors the reference's PyTorch layer (reference:
+deodr/pytorch/differentiable_renderer_pytorch.py:13-109): the
+easy-to-differentiate 3D chain — camera projection with OpenCV distortion,
+vertex normals, Lambertian + ambient shading — runs in torch ops so torch
+autograd differentiates it natively, and the rasterization crosses into
+the JAX renderer through the autograd Function in
+:mod:`deodr_tpu.interop.torch_bridge` (the same split as the reference's
+``TorchDifferentiableRenderer2DFunc``). Gradients flow to vertices,
+per-vertex colors, lights, uv and texture; silhouette edge flags are
+computed on the host exactly like the reference's torch path does
+(reference: deodr/pytorch/triangulated_mesh_pytorch.py:51-52 drops to
+numpy for ``edge_on_silhouette``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class CameraTorch:
+    """OpenCV-convention pinhole camera on torch tensors (reference:
+    deodr/pytorch/differentiable_renderer_pytorch.py:13-38)."""
+
+    def __init__(self, extrinsic, intrinsic, height: int, width: int, distortion=None):
+        import torch
+
+        self.extrinsic = torch.as_tensor(np.asarray(extrinsic), dtype=torch.float64)
+        self.intrinsic = torch.as_tensor(np.asarray(intrinsic), dtype=torch.float64)
+        self.distortion = (
+            None if distortion is None else torch.as_tensor(np.asarray(distortion), dtype=torch.float64)
+        )
+        self.height = int(height)
+        self.width = int(width)
+        assert tuple(self.extrinsic.shape) == (3, 4)
+        assert tuple(self.intrinsic.shape) == (3, 3)
+
+    @classmethod
+    def from_camera(cls, camera) -> "CameraTorch":
+        """From a :class:`deodr_tpu.camera.Camera`."""
+        return cls(camera.extrinsic, camera.intrinsic, camera.height, camera.width, camera.distortion)
+
+    def project_points(self, points_3d):
+        """world → (ij (V, 2), depths (V,)), differentiable torch ops; math
+        identical to deodr_tpu.camera.project_points_arrays (reference:
+        deodr/differentiable_renderer.py:341-389)."""
+        r = self.extrinsic[:3, :3]
+        t = self.extrinsic[:3, 3]
+        p_cam = points_3d @ r.T + t
+        depths = p_cam[:, 2]
+        projected = p_cam[:, :2] / depths[:, None]
+        if self.distortion is not None:
+            k1, k2, p1, p2, k3 = (self.distortion[i] for i in range(5))
+            x, y = projected[:, 0], projected[:, 1]
+            x2, y2 = x**2, y**2
+            r2 = x2 + y2
+            radial = 1 + k1 * r2 + k2 * r2**2 + k3 * r2**3
+            tang_x = 2 * p1 * x * y + p2 * (r2 + 2 * x2)
+            tang_y = p1 * (r2 + 2 * y2) + 2 * p2 * x * y
+            import torch
+
+            projected = torch.stack((x * radial + tang_x, y * radial + tang_y), dim=1)
+        ij = projected @ self.intrinsic[:2, :2].T + self.intrinsic[:2, 2]
+        return ij, depths
+
+
+def _vertex_normals_torch(vertices, faces_t, nb_vertices):
+    """Vertex normals as the normalized sum of incident (unnormalized-mean)
+    face normals — same semantics as geometry.adjacency.compute_vertex_normals."""
+    import torch
+
+    tri = vertices[faces_t]  # (F, 3, 3)
+    fn = torch.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0], dim=1)
+    fn = fn / fn.norm(dim=1, keepdim=True)
+    vn = vertices.new_zeros((nb_vertices, 3))
+    vn = vn.index_add(0, faces_t.reshape(-1), fn.repeat_interleave(3, dim=0))
+    return vn / vn.norm(dim=1, keepdim=True)
+
+
+class Scene3DTorch:
+    """Torch-facing Scene3D (reference:
+    deodr/pytorch/differentiable_renderer_pytorch.py:84-109): set a mesh
+    and lights, render through torch autograd. The differentiable inputs
+    are whatever torch tensors (with ``requires_grad``) the caller passes
+    to :meth:`render`."""
+
+    def __init__(self, sigma: float = 1.0):
+        self.sigma = float(sigma)
+        self.mesh = None
+        self.background_color: Optional[np.ndarray] = None
+
+    def set_mesh(self, mesh) -> None:
+        self.mesh = mesh
+
+    def set_background_color(self, color) -> None:
+        self.background_color = np.asarray(color, dtype=np.float64)
+
+    def render(
+        self,
+        camera: CameraTorch,
+        vertices,
+        vertices_colors=None,
+        light_directional=None,
+        light_ambient=0.0,
+        uv=None,
+        texture=None,
+    ):
+        """Render; returns a torch (H, W, C) image differentiable w.r.t.
+        every torch-tensor argument (vertices, colors, lights, uv, texture).
+
+        Pass either ``vertices_colors`` (V, C) or ``uv`` (Vuv, 2) +
+        ``texture`` (th, tw, C) like the reference's vertex-color vs
+        textured branches (reference: deodr/differentiable_renderer.py:921-941).
+        """
+        import torch
+        import jax.numpy as jnp
+
+        from deodr_tpu.interop.torch_bridge import render_scene_torch
+        from deodr_tpu.ops.render import SceneBuffers
+
+        mesh = self.mesh
+        assert mesh is not None, "call set_mesh first"
+        assert self.background_color is not None, "call set_background_color first"
+        faces_np = np.asarray(mesh.faces)
+        faces_t = torch.as_tensor(faces_np, dtype=torch.long)
+        nbv = int(vertices.shape[0])
+        nf = faces_np.shape[0]
+
+        ij, depths = camera.project_points(vertices)
+
+        # lighting (torch, differentiable)
+        light_ambient_t = (
+            light_ambient
+            if torch.is_tensor(light_ambient)
+            else torch.tensor(float(light_ambient), dtype=vertices.dtype)
+        )
+        if light_directional is not None:
+            vn = _vertex_normals_torch(vertices, faces_t, nbv)
+            x = -(vn * light_directional).sum(dim=1)
+            # max(0, x) written as 0.5·(x + |x|): forward identical, and the
+            # subgradient at EXACT zeros is 0.5 — matching jnp.maximum's tie
+            # convention (torch.relu gives 0 there, which visibly changes
+            # light gradients on symmetric meshes whose normals satisfy
+            # n·l == 0 exactly)
+            lum = 0.5 * (x + x.abs()) + light_ambient_t
+        else:
+            lum = torch.zeros(nbv, dtype=vertices.dtype) + light_ambient_t
+
+        # silhouette flags on the host, like the reference's torch path
+        sigma = self.sigma
+        if sigma > 0:
+            edgeflags = np.asarray(mesh.edge_on_silhouette(np.asarray(ij.detach())))
+        else:
+            edgeflags = np.zeros((nf, 3), bool)
+
+        textured = uv is not None
+        if textured:
+            assert texture is not None
+            faces_uv = np.asarray(mesh.faces_uv)
+            colors_t = torch.zeros((nbv, texture.shape[2]), dtype=vertices.dtype)
+            shade_t = lum
+            uv_t = uv
+            tex_t = texture
+        else:
+            assert vertices_colors is not None
+            faces_uv = faces_np
+            colors_t = vertices_colors * lum[:, None]
+            # shade must be ZEROS for untextured scenes (it is an unused
+            # input there; Scene3D passes zeros too) — passing lum would
+            # hand torch autograd whatever numerical cotangent the unused
+            # input picks up and corrupt the light gradients
+            shade_t = torch.zeros(nbv, dtype=vertices.dtype)
+            uv_t = torch.zeros((nbv, 2), dtype=vertices.dtype)
+            tex_t = None
+
+        template = SceneBuffers(
+            faces=jnp.asarray(faces_np.astype(np.int32)),
+            faces_uv=jnp.asarray(np.asarray(faces_uv).astype(np.int32)),
+            ij=None,
+            depths=jnp.asarray(np.asarray(depths.detach())),
+            uv=None,
+            shade=None,
+            colors=None,
+            edgeflags=jnp.asarray(edgeflags),
+            textured=jnp.full((nf,), textured),
+            shaded=jnp.full((nf,), textured),
+            texture=None,
+            background_image=None,
+            background_color=jnp.asarray(self.background_color),
+            height=camera.height,
+            width=camera.width,
+            clockwise=bool(mesh.clockwise),
+            backface_culling=True,
+            strict_edge=True,
+            perspective_correct=False,
+            integer_pixel_centers=True,
+        )
+        cap = None
+        if sigma > 0:
+            cap = max(8, 1 << int(np.ceil(np.log2(max(int(edgeflags.sum()), 1)))))
+        return render_scene_torch(
+            template, sigma, ij, colors_t, uv_t, shade_t, tex_t, aa_edge_capacity=cap
+        )
