@@ -811,24 +811,30 @@ def _finish_shading(scene, vals, z_buffer, background):
 def _finish_shading_tile_tex(
     scene, vals_pad, z_pad, counts, tiling, n_ty, n_tx, background, checks, interpret=False
 ):
-    """Tile-compacted variant of :func:`_finish_shading`'s texture fetch.
+    """Block-compacted variant of :func:`_finish_shading`'s texture fetch.
 
     The per-pixel bilinear gather and its scatter transpose cost ~13
     cycles/row on TPU — the dominant per-frame cost of a textured solid
-    pass. Every covered pixel lies in a tile whose triangle bin is
-    non-empty, so the fetch runs only on those tiles, compacted to the
-    static ``tex_tile_capacity`` (background-only tiles skip it entirely).
-    Results are identical to the full-frame fetch when the capacity holds
-    (checked via ``check_capacity``)."""
+    pass. The fetch runs only on 8-row × tile_w BLOCKS that actually
+    contain a covered textured pixel (gated by the rasterizer's own
+    textured-flag plane — tighter than bin occupancy, and independent of
+    the solid pass's tile height), compacted to the static
+    ``tex_tile_capacity``. Results are identical to the full-frame fetch
+    when the capacity holds (checked via ``check_capacity``)."""
+    del counts  # flag-based occupancy replaces bin-based
     from deodr_tpu.ops.common import bilinear_sample
 
-    th, tw = tiling.tile_h, tiling.tile_w
+    th, tw = 8, tiling.tile_w
+    n_ty = n_ty * (tiling.tile_h // 8)  # fetch-block grid
     height, width = scene.height, scene.width
     nb_colors = scene.colors.shape[1]
     d_total = vals_pad.shape[0]
     n_tiles = n_ty * n_tx
     k_cap = min(tiling.tex_tile_capacity, n_tiles)
-    occupied = counts > 0
+    # a block participates iff any of its pixels is covered AND textured
+    # (exactly the pixels whose sample survives the use_tex select below)
+    flag = vals_pad[d_total - 1].reshape(n_ty, th, n_tx, tw) > 0.5
+    occupied = jax.lax.stop_gradient(jnp.any(flag, axis=(1, 3)).reshape(-1))
     if checks is not None:
         checks.append(("texture tile compaction", jnp.sum(occupied), k_cap))
     tids_row, tvalid_row, _ = _compact_bins(occupied[None, :], k_cap)

@@ -649,18 +649,32 @@ class Scene3D:
         if want_tiling:
             med_h = float(stats[6])
             if med_h <= 12:
-                tile_h = 8
+                # Pallas: 16-row solid tiles with 8-row EDGE tiles measured
+                # fastest on the duck (14.07 vs 14.49 ms for 8/8 and 15.6
+                # for 32/8): halving the solid tile count halves every
+                # per-tile table/binning cost while bin occupancy only
+                # grows ~1.6x; thin AA bands still want short tiles
+                tile_h = 16 if for_pallas else 8
             elif med_h <= 32:
                 tile_h = 16 if for_pallas else 32
             else:
                 tile_h = 64
             tile_h = min(tile_h, max(8, height))
+            # debug/tuning override (stats exist for every candidate height)
+            import os as _os
+
+            _th_env = _os.environ.get("DEODR_TILE_H")
+            if _th_env and int(_th_env) in tile_h_candidates:
+                tile_h = min(int(_th_env), max(8, height))
             k = tile_h_candidates.index(tile_h)
             tri_cap = int(stats[7 + 2 * k])
             # the edge passes can use their own tile height (TilingConfig.
             # edge_tile_h); measured on the duck, matching the solid pass's
             # height is fastest (short bands), so keep them equal by default
-            edge_tile_h = 0
+            # edge passes keep 8-row tiles when the solid pass uses taller
+            # ones (thin AA bands span a short tile anyway; taller edge
+            # tiles only add slot visits — measured above)
+            edge_tile_h = 8 if (for_pallas and tile_h > 8) else 0
             ek = tile_h_candidates.index(edge_tile_h) if edge_tile_h else k
             edge_cap = int(stats[8 + 2 * ek]) if sigma > 0 else 8
 
@@ -678,9 +692,15 @@ class Scene3D:
             tex_tile_cap = 0
             quad_fallback_cap = 0
             if for_pallas and mesh.texture is not None:
-                # multiple-of-8 bucket with margin; capped at the tile count
-                # (at which point compaction is a no-op but still correct)
-                tex_tile_cap = min(max(8, -(-int(occ_tiles * 1.25) // 8) * 8), n_tiles_sel)
+                # the texture fetch compacts 8-ROW blocks (independent of the
+                # solid tile height; see _finish_shading_tile_tex), so size
+                # from the 8-row candidate's occupancy — a safe upper bound
+                # on the flag-based block count. Multiple-of-8 bucket with
+                # margin; capped at the block count (at which point
+                # compaction is a no-op but still correct).
+                occ8 = int(stats[8 + 2 * n_cand + tile_h_candidates.index(8)])
+                n_blocks8 = (-(-height // 8)) * (-(-width // tile_w))
+                tex_tile_cap = min(max(8, -(-int(occ8 * 1.25) // 8) * 8), n_blocks8)
                 # quad-granular texture fetch (bilinear_sample_quads): kept
                 # OPT-IN (DEODR_QUAD_FETCH=1). Measured on the duck it cuts
                 # the gather/scatter pair 4.5 → 1.1 ms but loses more than
@@ -697,7 +717,7 @@ class Scene3D:
                     and tex_hw[1] % 2 == 0
                     and min(tex_hw) >= 8
                 ):
-                    n_quads = tex_tile_cap * (tile_h // 2) * (tile_w // 2)
+                    n_quads = tex_tile_cap * (8 // 2) * (tile_w // 2)  # 8-row fetch blocks
                     need = -(-n_quads // 24)
                     quad_fallback_cap = min(n_quads, max(512, -(-need // 256) * 256))
             # two-level binning once the dense (n_tiles × N) mask would be
@@ -793,7 +813,7 @@ class Scene3D:
                 )
                 and (
                     (tiling.tex_tile_capacity == 0 and l_tiling.tex_tile_capacity == 0)
-                    or occ_tiles <= l_tiling.tex_tile_capacity <= 4 * max(tiling.tex_tile_capacity, 8)
+                    or occ8 <= l_tiling.tex_tile_capacity <= 4 * max(tiling.tex_tile_capacity, 8)
                 )
                 and (
                     (tiling.super_capacity == 0 and l_tiling.super_capacity == 0)
