@@ -700,7 +700,11 @@ class Scene3D:
                 # compaction is a no-op but still correct).
                 occ8 = int(stats[8 + 2 * n_cand + tile_h_candidates.index(8)])
                 n_blocks8 = (-(-height // 8)) * (-(-width // tile_w))
-                tex_tile_cap = min(max(8, -(-int(occ8 * 1.25) // 8) * 8), n_blocks8)
+                # margin 1.0 is drop-safe: bbox occupancy (measured) always
+                # bounds the flag-based occupancy the fetch compaction uses,
+                # so the capacity can never overflow for THIS geometry; the
+                # 4x hysteresis band absorbs evolution across fit steps
+                tex_tile_cap = min(max(8, -(-occ8 // 8) * 8), n_blocks8)
                 # quad-granular texture fetch (bilinear_sample_quads): kept
                 # OPT-IN (DEODR_QUAD_FETCH=1). Measured on the duck it cuts
                 # the gather/scatter pair 4.5 → 1.1 ms but loses more than
