@@ -68,6 +68,11 @@ class TilingConfig(NamedTuple):
     # bit-identical to the per-pixel fetch while the capacity holds
     # (checked via check_capacity).
     quad_fallback_capacity: int = 0
+    # texture-fetch block width (0 = tile_w): the compacted bilinear fetch
+    # gates 8-row × tex_block_w blocks on the covered-textured flag;
+    # narrower blocks fetch fewer pixels at object boundaries at the cost
+    # of more (fatter-amortized) gather rows
+    tex_block_w: int = 0
     # two-level binning (see _bin_to_tiles_hier): when super_capacity > 0,
     # triangles are first binned to supertiles of (super_ty × super_tx)
     # tiles compacted to super_capacity candidates each, and only those are
@@ -824,8 +829,10 @@ def _finish_shading_tile_tex(
     del counts  # flag-based occupancy replaces bin-based
     from deodr_tpu.ops.common import bilinear_sample
 
-    th, tw = 8, tiling.tile_w
+    bw = tiling.tex_block_w or tiling.tile_w
+    th, tw = 8, bw
     n_ty = n_ty * (tiling.tile_h // 8)  # fetch-block grid
+    n_tx = n_tx * (tiling.tile_w // bw)
     height, width = scene.height, scene.width
     nb_colors = scene.colors.shape[1]
     d_total = vals_pad.shape[0]

@@ -31,6 +31,11 @@ from deodr_tpu.ops.render import SceneBuffers, render_scene, render_scene_jit
 _SUPER_TY = 8
 _SUPER_TX = 4
 
+# texture-fetch block-width candidates measured by the planner (narrower
+# blocks gate out more background pixels at object boundaries; fatter rows
+# amortize the per-row gather cost better) — see TilingConfig.tex_block_w
+_TEX_BW_CANDIDATES = (32, 64)
+
 
 def _jit_scene2d_grads_factory():
     @partial(jax.jit, static_argnames=("sigma", "antialiase_error", "aa_edge_capacity", "tiling"))
@@ -589,6 +594,13 @@ class Scene3D:
                     stats += occupied_tiles
                     # then supertile max occupancies, per candidate
                     stats += super_occ
+                    # then occupied texture-fetch blocks at (8, bw) for the
+                    # narrower block-width candidates (indices 8+4n, 8+4n+1)
+                    n_by8 = -(-height // 8)
+                    for bw_c in _TEX_BW_CANDIDATES:
+                        n_bx = -(-width // bw_c)
+                        cb = occupancy_counts(x_lo, x_hi, y_lo, y_hi, drawn, n_by8, n_bx, 8, bw_c)
+                        stats.append((cb > 0).sum())
                 return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
 
             return jax.jit(f)
@@ -690,6 +702,7 @@ class Scene3D:
             occ_tiles = int(stats[8 + 2 * n_cand + k])
             super_occ_sel = int(stats[8 + 3 * n_cand + k])
             tex_tile_cap = 0
+            tex_block_w = 0
             quad_fallback_cap = 0
             if for_pallas and mesh.texture is not None:
                 # the texture fetch compacts 8-ROW blocks (independent of the
@@ -698,13 +711,29 @@ class Scene3D:
                 # on the flag-based block count. Multiple-of-8 bucket with
                 # margin; capped at the block count (at which point
                 # compaction is a no-op but still correct).
-                occ8 = int(stats[8 + 2 * n_cand + tile_h_candidates.index(8)])
-                n_blocks8 = (-(-height // 8)) * (-(-width // tile_w))
                 # margin 1.0 is drop-safe: bbox occupancy (measured) always
                 # bounds the flag-based occupancy the fetch compaction uses,
                 # so the capacity can never overflow for THIS geometry; the
-                # 4x hysteresis band absorbs evolution across fit steps
-                tex_tile_cap = min(max(8, -(-occ8 // 8) * 8), n_blocks8)
+                # 4x hysteresis band absorbs evolution across fit steps.
+                # Block width: narrower blocks gate out more background
+                # pixels (fewer fetched pixels) at a modest per-row cost —
+                # pick the width minimizing total fetched pixels with a mild
+                # preference for fatter rows on ties.
+                import os as _os
+
+                occ8 = int(stats[8 + 2 * n_cand + tile_h_candidates.index(8)])
+                cands = [(tile_w, occ8)]
+                for i, bw_c in enumerate(_TEX_BW_CANDIDATES):
+                    cands.append((bw_c, int(stats[8 + 4 * n_cand + i])))
+                _bw_env = _os.environ.get("DEODR_TEX_BW")
+                if _bw_env:
+                    tex_bw = int(_bw_env)
+                    occ_bw = dict(cands).get(tex_bw, occ8 * (tile_w // tex_bw))
+                else:
+                    tex_bw, occ_bw = min(cands, key=lambda c: (c[0] * c[1], -c[0]))
+                n_blocks_bw = (-(-height // 8)) * (-(-width // tex_bw))
+                tex_tile_cap = min(max(8, -(-occ_bw // 8) * 8), n_blocks_bw)
+                tex_block_w = 0 if tex_bw == tile_w else tex_bw
                 # quad-granular texture fetch (bilinear_sample_quads): kept
                 # OPT-IN (DEODR_QUAD_FETCH=1). Measured on the duck it cuts
                 # the gather/scatter pair 4.5 → 1.1 ms but loses more than
@@ -721,7 +750,7 @@ class Scene3D:
                     and tex_hw[1] % 2 == 0
                     and min(tex_hw) >= 8
                 ):
-                    n_quads = tex_tile_cap * (8 // 2) * (tile_w // 2)  # 8-row fetch blocks
+                    n_quads = tex_tile_cap * (8 // 2) * ((tex_block_w or tile_w) // 2)  # 8-row fetch blocks
                     need = -(-n_quads // 24)
                     quad_fallback_cap = min(n_quads, max(512, -(-need // 256) * 256))
             # two-level binning once the dense (n_tiles × N) mask would be
@@ -744,6 +773,7 @@ class Scene3D:
                 edge_segment_length=48.0,
                 edge_tile_h=edge_tile_h,
                 tex_tile_capacity=tex_tile_cap,
+                tex_block_w=tex_block_w,
                 quad_fallback_capacity=quad_fallback_cap,
                 super_ty=super_ty,
                 super_tx=super_tx,
@@ -817,7 +847,10 @@ class Scene3D:
                 )
                 and (
                     (tiling.tex_tile_capacity == 0 and l_tiling.tex_tile_capacity == 0)
-                    or occ8 <= l_tiling.tex_tile_capacity <= 4 * max(tiling.tex_tile_capacity, 8)
+                    or (
+                        l_tiling.tex_block_w == tiling.tex_block_w
+                        and occ_bw <= l_tiling.tex_tile_capacity <= 4 * max(tiling.tex_tile_capacity, 8)
+                    )
                 )
                 and (
                     (tiling.super_capacity == 0 and l_tiling.super_capacity == 0)
