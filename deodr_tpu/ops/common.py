@@ -207,6 +207,11 @@ def _footprint_table_fwd(tf, tw):
 
 
 def _footprint_table_bwd(tw, res, ct):
+    # four sel-matmuls + row-rolls. A single 2x2 conv formulation (one read
+    # of the cotangent instead of four) was tried and REGRESSED the duck
+    # 11.4 -> 12.4 ms — the in-loop conv emitter loses to these fused
+    # matmul+roll terms despite the extra reads; see PERFORMANCE.md
+    # "in-loop emitter gap".
     del res
     n, c = ct.shape[0], ct.shape[1] // 4
     eye = jnp.eye(c, dtype=ct.dtype)

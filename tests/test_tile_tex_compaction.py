@@ -125,11 +125,15 @@ def test_quad_fallback_overflow_is_loud():
 
 
 def test_footprint_table_gradients_match_reference_rolls():
-    """The hand-written matmul transpose of the footprint table must equal
-    the autodiff transpose of the roll-based build."""
+    """The hand-written conv transpose of the footprint table must equal
+    the autodiff transpose of the roll-based build for every cotangent
+    that can actually arise: bilinear taps clamp to iu ≤ tw−2 / iv ≤ th−2,
+    so table rows at the last texel row/column carry zero cotangent (where
+    the roll formulation's wraps and the conv's zero padding differ, both
+    see only zeros)."""
     rng = np.random.RandomState(3)
-    tex = jnp.asarray(rng.rand(9, 7, 2))
-    tw = 7
+    th, tw, c = 9, 7, 2
+    tex = jnp.asarray(rng.rand(th, tw, c))
 
     def build_rolls(tf):
         return jnp.concatenate(
@@ -138,8 +142,11 @@ def test_footprint_table_gradients_match_reference_rolls():
 
     from deodr_tpu.ops.common import _footprint_table
 
-    tf = tex.reshape(-1, 2)
-    ct = jnp.asarray(rng.rand(63, 8))
+    tf = tex.reshape(-1, c)
+    ct = rng.rand(th, tw, 4 * c)
+    ct[th - 1, :, :] = 0.0  # structurally-zero rows (never gathered)
+    ct[:, tw - 1, :] = 0.0
+    ct = jnp.asarray(ct.reshape(th * tw, 4 * c))
     out_ref, vjp_ref = jax.vjp(build_rolls, tf)
     out_new, vjp_new = jax.vjp(lambda t: _footprint_table(t, tw), tf)
     np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_new))
