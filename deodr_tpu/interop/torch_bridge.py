@@ -33,8 +33,13 @@ def render_scene_torch(scene_buffers, sigma: float, ij, colors, uv, shade, textu
     class _Render(torch.autograd.Function):
         @staticmethod
         def forward(ctx, ij_t, colors_t, uv_t, shade_t, texture_t):
-            args = [None if t is None else jnp.asarray(t.detach().cpu().numpy()) for t in (ij_t, colors_t, uv_t, shade_t, texture_t)]
+            tensors = (ij_t, colors_t, uv_t, shade_t, texture_t)
+            args = [None if t is None else jnp.asarray(t.detach().cpu().numpy()) for t in tensors]
             ctx.jax_args = args
+            # remember each input's device so backward can hand autograd
+            # gradients on the SAME device (CUDA-resident inputs otherwise
+            # fail inside autograd's accumulation, not here)
+            ctx.devices = [None if t is None else t.device for t in tensors]
             b = dataclasses.replace(
                 scene_buffers,
                 ij=args[0],
@@ -45,7 +50,7 @@ def render_scene_torch(scene_buffers, sigma: float, ij, colors, uv, shade, textu
             )
             ctx.buffers = b
             image, _, _ = render_scene_jit(b, float(sigma), aa_edge_capacity=aa_edge_capacity)
-            return torch.from_numpy(np.asarray(image))
+            return torch.from_numpy(np.asarray(image)).to(ij_t.device)
 
         @staticmethod
         def backward(ctx, grad_image):
@@ -59,8 +64,8 @@ def render_scene_torch(scene_buffers, sigma: float, ij, colors, uv, shade, textu
             _, vjp = jax.vjp(f, b.ij, b.colors, b.uv, b.shade, b.texture)
             g = vjp(jnp.asarray(grad_image.detach().cpu().numpy()))
             out = []
-            for t, gi in zip(ctx.jax_args, g):
-                out.append(None if (t is None or gi is None) else torch.from_numpy(np.asarray(gi)))
+            for t, gi, dev in zip(ctx.jax_args, g, ctx.devices):
+                out.append(None if (t is None or gi is None) else torch.from_numpy(np.asarray(gi)).to(dev))
             return tuple(out)
 
     return _Render.apply(ij, colors, uv, shade, texture)

@@ -47,13 +47,17 @@ class CameraTorch:
         """world → (ij (V, 2), depths (V,)), differentiable torch ops; math
         identical to deodr_tpu.camera.project_points_arrays (reference:
         deodr/differentiable_renderer.py:341-389)."""
-        r = self.extrinsic[:3, :3]
-        t = self.extrinsic[:3, 3]
+        # follow the points' device/dtype: the camera stores f64 CPU tensors,
+        # but callers may pass CUDA-resident (or f32) vertices
+        ext = self.extrinsic.to(device=points_3d.device, dtype=points_3d.dtype)
+        r = ext[:3, :3]
+        t = ext[:3, 3]
         p_cam = points_3d @ r.T + t
         depths = p_cam[:, 2]
         projected = p_cam[:, :2] / depths[:, None]
         if self.distortion is not None:
-            k1, k2, p1, p2, k3 = (self.distortion[i] for i in range(5))
+            dist = self.distortion.to(device=points_3d.device, dtype=points_3d.dtype)
+            k1, k2, p1, p2, k3 = (dist[i] for i in range(5))
             x, y = projected[:, 0], projected[:, 1]
             x2, y2 = x**2, y**2
             r2 = x2 + y2
@@ -63,7 +67,8 @@ class CameraTorch:
             import torch
 
             projected = torch.stack((x * radial + tang_x, y * radial + tang_y), dim=1)
-        ij = projected @ self.intrinsic[:2, :2].T + self.intrinsic[:2, 2]
+        intr = self.intrinsic.to(device=points_3d.device, dtype=points_3d.dtype)
+        ij = projected @ intr[:2, :2].T + intr[:2, 2]
         return ij, depths
 
 
@@ -72,12 +77,15 @@ def _vertex_normals_torch(vertices, faces_t, nb_vertices):
     face normals — same semantics as geometry.adjacency.compute_vertex_normals."""
     import torch
 
+    eps = torch.finfo(vertices.dtype).tiny
     tri = vertices[faces_t]  # (F, 3, 3)
     fn = torch.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0], dim=1)
-    fn = fn / fn.norm(dim=1, keepdim=True)
+    # clamp like the reference's normalize: a degenerate face yields a zero
+    # normal instead of NaN-poisoning every vertex it touches
+    fn = fn / fn.norm(dim=1, keepdim=True).clamp_min(eps)
     vn = vertices.new_zeros((nb_vertices, 3))
     vn = vn.index_add(0, faces_t.reshape(-1), fn.repeat_interleave(3, dim=0))
-    return vn / vn.norm(dim=1, keepdim=True)
+    return vn / vn.norm(dim=1, keepdim=True).clamp_min(eps)
 
 
 class Scene3DTorch:
@@ -125,7 +133,7 @@ class Scene3DTorch:
         assert mesh is not None, "call set_mesh first"
         assert self.background_color is not None, "call set_background_color first"
         faces_np = np.asarray(mesh.faces)
-        faces_t = torch.as_tensor(faces_np, dtype=torch.long)
+        faces_t = torch.as_tensor(faces_np, dtype=torch.long, device=vertices.device)
         nbv = int(vertices.shape[0])
         nf = faces_np.shape[0]
 
@@ -135,7 +143,7 @@ class Scene3DTorch:
         light_ambient_t = (
             light_ambient
             if torch.is_tensor(light_ambient)
-            else torch.tensor(float(light_ambient), dtype=vertices.dtype)
+            else torch.tensor(float(light_ambient), dtype=vertices.dtype, device=vertices.device)
         )
         if light_directional is not None:
             vn = _vertex_normals_torch(vertices, faces_t, nbv)
@@ -147,12 +155,12 @@ class Scene3DTorch:
             # n·l == 0 exactly)
             lum = 0.5 * (x + x.abs()) + light_ambient_t
         else:
-            lum = torch.zeros(nbv, dtype=vertices.dtype) + light_ambient_t
+            lum = torch.zeros(nbv, dtype=vertices.dtype, device=vertices.device) + light_ambient_t
 
         # silhouette flags on the host, like the reference's torch path
         sigma = self.sigma
         if sigma > 0:
-            edgeflags = np.asarray(mesh.edge_on_silhouette(np.asarray(ij.detach())))
+            edgeflags = np.asarray(mesh.edge_on_silhouette(np.asarray(ij.detach().cpu())))
         else:
             edgeflags = np.zeros((nf, 3), bool)
 
@@ -160,7 +168,7 @@ class Scene3DTorch:
         if textured:
             assert texture is not None
             faces_uv = np.asarray(mesh.faces_uv)
-            colors_t = torch.zeros((nbv, texture.shape[2]), dtype=vertices.dtype)
+            colors_t = torch.zeros((nbv, texture.shape[2]), dtype=vertices.dtype, device=vertices.device)
             shade_t = lum
             uv_t = uv
             tex_t = texture
@@ -172,15 +180,15 @@ class Scene3DTorch:
             # input there; Scene3D passes zeros too) — passing lum would
             # hand torch autograd whatever numerical cotangent the unused
             # input picks up and corrupt the light gradients
-            shade_t = torch.zeros(nbv, dtype=vertices.dtype)
-            uv_t = torch.zeros((nbv, 2), dtype=vertices.dtype)
+            shade_t = torch.zeros(nbv, dtype=vertices.dtype, device=vertices.device)
+            uv_t = torch.zeros((nbv, 2), dtype=vertices.dtype, device=vertices.device)
             tex_t = None
 
         template = SceneBuffers(
             faces=jnp.asarray(faces_np.astype(np.int32)),
             faces_uv=jnp.asarray(np.asarray(faces_uv).astype(np.int32)),
             ij=None,
-            depths=jnp.asarray(np.asarray(depths.detach())),
+            depths=jnp.asarray(np.asarray(depths.detach().cpu())),
             uv=None,
             shade=None,
             colors=None,

@@ -42,6 +42,14 @@ class _FitterRenderCore:
         self.mesh = mesh
         self.sigma = float(sigma)
         self._jit_cache: Dict = {}
+        # every check_every planned steps, the step additionally runs its
+        # check_capacity=True (checkify) variant: the bbox-stats plan
+        # validation bounds the tri/edge/AA bins, but the checkified render
+        # asserts EVERY static capacity from the actual bin counts — the
+        # safety net against a capacity class the stats vector cannot see
+        # (set 0 to disable)
+        self.check_every: int = 25
+        self._n_planned_steps: int = 0
 
     def silhouette_capacity(self, camera: Camera, vertices) -> Optional[int]:
         return self.plan(camera, vertices)[0]
@@ -248,6 +256,22 @@ class _FitterRenderCore:
                 and last_tiling.tile_w == tiling.tile_w
                 and tri_cap <= last_tiling.triangle_capacity <= 4 * tiling.triangle_capacity
                 and edge_cap <= last_tiling.edge_capacity <= 4 * tiling.edge_capacity
+                # explicit super-capacity fit: the tile-sum bound that sized
+                # super_capacity above must also hold for the KEPT plan (do
+                # not rely on bucket() distributing over the 32x factor)
+                and (
+                    (tiling.super_capacity == 0 and last_tiling.super_capacity == 0)
+                    or (
+                        tiling.super_capacity > 0
+                        and (tiling.super_ty, tiling.super_tx)
+                        == (last_tiling.super_ty, last_tiling.super_tx)
+                        and min(
+                            mesh.nb_faces,
+                            max(tri_cap, 1) * tiling.super_ty * tiling.super_tx,
+                        )
+                        <= last_tiling.super_capacity
+                    )
+                )
             ):
                 tiling = last_tiling
         self._jit_cache[("last_plan",) + key[1:]] = (cap, tiling)
@@ -286,14 +310,49 @@ class _FitterRenderCore:
 
         out = build(cap, tiling)(*args)
         if stats_dev is None:
-            return out, jax.device_get(fetch_selector(out))
-        stats, fetched = jax.device_get((stats_dev, fetch_selector(out)))
-        stats = np.asarray(stats).max(axis=0)
-        self.plan_from_stats(camera, stats)  # hysteresis update for the next step
-        if not self.plan_fits(camera, stats, cap, tiling):
-            cap, tiling = self.plan_guess(camera)
-            out = build(cap, tiling)(*args)
             fetched = jax.device_get(fetch_selector(out))
+            stats = None
+        else:
+            stats, fetched = jax.device_get((stats_dev, fetch_selector(out)))
+            stats = np.asarray(stats).max(axis=0)
+            self.plan_from_stats(camera, stats)  # hysteresis update for the next step
+            if not self.plan_fits(camera, stats, cap, tiling):
+                cap, tiling = self.plan_guess(camera)
+                out = build(cap, tiling)(*args)
+                fetched = jax.device_get(fetch_selector(out))
+
+        # periodic checkified validation: every check_every steps, run the
+        # SAME step with checkify assertions on every actual bin count. The
+        # bbox-statistics validation above upper-bounds the bins it models;
+        # this catches any capacity class it cannot see (and planner bugs).
+        # On overflow: warn, drop the cached plan (hysteresis included),
+        # replan from fresh statistics, and re-run — never a degraded render.
+        self._n_planned_steps += 1
+        if self.check_every and self._n_planned_steps % self.check_every == 0:
+            from jax.experimental import checkify
+
+            def make_checked():
+                fn = make_fn(cap, tiling, check_capacity=True)
+                return jax.jit(checkify.checkify(fn))
+
+            fn_c = self.cached_raw(
+                (key_prefix, "checked", cap, tiling) + tuple(extra_key), make_checked
+            )
+            err, _ = fn_c(*args)
+            msg = err.get()
+            if msg is not None:
+                import warnings
+
+                warnings.warn(
+                    "fitter plan capacity overflowed (%s); replanning" % msg.splitlines()[0]
+                )
+                key = self._plan_ctx(camera)[4]
+                self._jit_cache.pop(("last_plan",) + key[1:], None)
+                if stats is None:
+                    stats = np.asarray(jax.device_get(self.stats_dispatch(camera, verts_batch))).max(axis=0)
+                cap, tiling = self.plan_from_stats(camera, stats)
+                out = build(cap, tiling)(*args)
+                fetched = jax.device_get(fetch_selector(out))
         return out, fetched
 
     def cached_raw(self, key, make):
@@ -381,7 +440,7 @@ class MeshDepthFitter:
         q_n = normalize(jnp.asarray(self.transform_quaternion))
         return qrot(q_n, jnp.asarray(self.vertices)) + jnp.asarray(self.transform_translation)
 
-    def _make_data_energy(self, cap, tiling):
+    def _make_data_energy(self, cap, tiling, check_capacity=False):
         mesh = self.mesh
         camera = self.camera
         sigma = self.core.sigma
@@ -422,15 +481,18 @@ class MeshDepthFitter:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
-            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None)
+            image, _, _ = render_scene(
+                buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None,
+                check_capacity=check_capacity,
+            )
             depth_clipped = jnp.clip(image, 0, max_depth)
             diff_image = jnp.sum((depth_clipped - obs[:, :, None]) ** 2, axis=2)
             return jnp.sum(diff_image), (depth_clipped, diff_image)
 
         return energy
 
-    def _make_energy(self, cap, tiling):
-        energy = self._make_data_energy(cap, tiling)
+    def _make_energy(self, cap, tiling, check_capacity=False):
+        energy = self._make_data_energy(cap, tiling, check_capacity=check_capacity)
         rigid = self.rigid_energy
 
         def energy_and_grads(vertices, quaternion, translation):
@@ -655,7 +717,7 @@ class MeshRGBFitterWithPose:
         )
         self.iter = 0
 
-    def _make_energy(self, cap, tiling):
+    def _make_energy(self, cap, tiling, check_capacity=False):
         mesh = self.mesh
         camera = self.camera
         sigma = self.core.sigma
@@ -699,7 +761,10 @@ class MeshRGBFitterWithPose:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
-            image, _, _ = render_scene(buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None)
+            image, _, _ = render_scene(
+                buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None,
+                check_capacity=check_capacity,
+            )
             diff_image = jnp.sum((image - obs) ** 2, axis=2)
             return jnp.sum(diff_image), (image, diff_image)
 
@@ -881,16 +946,18 @@ class MeshRGBFitterWithPoseMultiFrame:
                 P("views"),
                 (P(), P("views"), P("views"), P(), P(), P()),
             ),
-            # check_vma=False disables the varying-manual-axes checker for
-            # the WHOLE sharded energy, not just the one pattern that needs
-            # it: the render's scan carries are initialized from constants
-            # (replicated) and updated from sharded per-frame data, a mix
-            # the checker rejects even though the computation is purely
-            # frame-local. The safety net for future edits is the mandatory
-            # sharded-vs-sequential bit-parity test
-            # (tests/test_parallel.py::test_multiframe_fitter_sharded) —
-            # keep it green; re-enable the check if a future jax accepts
-            # the replicated-carry pattern.
+            # check_vma must stay OFF here on jax 0.9: with the checker ON
+            # this energy compiles (after ops.common.match_vma stamps the
+            # render's scan carries) but the shard_map GRADIENT rewrite then
+            # produces different parameter gradients — the sharded-vs-
+            # sequential trajectory test diverges from iteration 2
+            # (1469.50 vs 1512.12 on the 4-view octahedron fit) while with
+            # the checker off it matches to 1e-9. The safety net is exactly
+            # that mandatory test
+            # (tests/test_parallel.py::test_multiframe_fitter_view_sharded_
+            # matches_sequential) — keep it green; try re-enabling on a jax
+            # upgrade. The TILE-sharded production path runs with the
+            # checker ON (parallel/sharding.py) and its gradients match.
             check_vma=False,
         )
         return jax.jit(sm)
@@ -1018,6 +1085,15 @@ class MeshRGBFitterWithPoseMultiFrame:
             )
 
         def run_frames(cap, tiling):
+            """Run every frame's energy+gradients (sharded or sequential).
+
+            Returns ``(e_frames, images, diffs, per_frame, shared)`` where
+            ``per_frame = (gq, gt)`` are the per-frame pose gradients
+            (length-nb_frames sequences) and ``shared = (gv, gc, gld, gla)``
+            are the frame-summed TOTALS of the shared-parameter gradients —
+            shared parameters have no per-frame gradient layout at all, so
+            consumers take totals explicitly (no zero-stuffed packing).
+            """
             if device_mesh is not None:
                 fn = self.core.cached(
                     ("multi_sharded", cap, tiling, self.width, self.height, self.nb_frames, device_mesh),
@@ -1034,32 +1110,11 @@ class MeshRGBFitterWithPoseMultiFrame:
                     obs_all,
                 )
                 gv, gq, gt, gc, gld, gla = grads
-                # Repackage into the sequential path's per-frame layout.
-                # INVARIANT: gv/gc/gld/gla are already psum'd TOTALS over
-                # frames; they are placed in frame 0 with zeros elsewhere,
-                # which is correct ONLY for consumers that sum the
-                # "per-frame" shared-parameter gradients (energy_data does,
-                # with +=). A consumer reading a genuinely per-frame shared
-                # gradient from frames > 0 would get zeros.
-                return [
-                    (
-                        e_frames[i],
-                        (imgs[i], diffs[i]),
-                        (
-                            gv if i == 0 else jnp.zeros_like(gv),
-                            gq[i],
-                            gt[i],
-                            gc if i == 0 else jnp.zeros_like(gc),
-                            gld if i == 0 else jnp.zeros_like(gld),
-                            gla if i == 0 else jnp.zeros_like(gla),
-                        ),
-                    )
-                    for i in range(self.nb_frames)
-                ]
+                return e_frames, imgs, diffs, (gq, gt), (gv, gc, gld, gla)
             fn = self.core.cached(
                 ("multi", cap, tiling, self.width, self.height), lambda: self._make_energy(cap, tiling)
             )
-            return [
+            outs = [
                 fn(
                     v_j,
                     q_all[idframe],
@@ -1071,38 +1126,47 @@ class MeshRGBFitterWithPoseMultiFrame:
                 )
                 for idframe in range(self.nb_frames)
             ]
+            e_frames = [o[0] for o in outs]
+            imgs = [o[1][0] for o in outs]
+            diffs = [o[1][1] for o in outs]
+            gq = [o[2][1] for o in outs]
+            gt = [o[2][2] for o in outs]
+            # shared-parameter totals summed on device: the host fetch below
+            # stays a single batched device_get either way
+            shared = tuple(
+                sum(o[2][k] for o in outs) for k in (0, 3, 4, 5)
+            )
+            return e_frames, imgs, diffs, (gq, gt), shared
 
-        outs = run_frames(cap, tiling)
+        e_frames, images_d, diffs_d, per_frame, shared = run_frames(cap, tiling)
         e_rigid_j, grad_rigidity_j, _ = self.rigid_energy.evaluate(v_j)
         # the frame images stay on device (returned lazily — converting them
         # costs a transfer only if the caller actually reads the pixels)
         if stats_dev is not None:
             stats, scalars, self._e_rigid, self._grad_rigidity = jax.device_get(
-                (stats_dev, [(o[0], o[2]) for o in outs], e_rigid_j, grad_rigidity_j)
+                (stats_dev, (e_frames, per_frame, shared), e_rigid_j, grad_rigidity_j)
             )
             stats = np.asarray(stats).max(axis=0)
             self.core.plan_from_stats(self.camera, stats)
             if not self.core.plan_fits(self.camera, stats, cap, tiling):
                 cap, tiling = self.core.plan_guess(self.camera)
-                outs = run_frames(cap, tiling)
-                scalars = jax.device_get([(o[0], o[2]) for o in outs])
+                e_frames, images_d, diffs_d, per_frame, shared = run_frames(cap, tiling)
+                scalars = jax.device_get((e_frames, per_frame, shared))
         else:
             scalars, self._e_rigid, self._grad_rigidity = jax.device_get(
-                ([(o[0], o[2]) for o in outs], e_rigid_j, grad_rigidity_j)
+                ((e_frames, per_frame, shared), e_rigid_j, grad_rigidity_j)
             )
-        energy_datas = []
-        for idframe, (e, grads) in enumerate(scalars):
-            vertices_b, quaternion_b, translation_b, mesh_color_b, light_directional_b, light_ambient_b = grads
-            self._vertices_b += vertices_b
-            self.transform_quaternion_b[idframe] += quaternion_b
-            self.transform_translation_b[idframe] += translation_b
-            self.mesh_color_b += mesh_color_b
-            self.light_directional_b += light_directional_b
-            self.light_ambient_b += float(light_ambient_b)
-            images.append(outs[idframe][1][0])
-            diff_images.append(outs[idframe][1][1])
-            energy_datas.append(float(e))
-        return float(np.sum(energy_datas)), images, diff_images
+        e_frames_h, (gq_h, gt_h), (gv_h, gc_h, gld_h, gla_h) = scalars
+        self._vertices_b += np.asarray(gv_h)
+        self.mesh_color_b += np.asarray(gc_h)
+        self.light_directional_b += np.asarray(gld_h)
+        self.light_ambient_b += float(gla_h)
+        for idframe in range(self.nb_frames):
+            self.transform_quaternion_b[idframe] += gq_h[idframe]
+            self.transform_translation_b[idframe] += gt_h[idframe]
+            images.append(images_d[idframe])
+            diff_images.append(diffs_d[idframe])
+        return float(np.sum(np.asarray(e_frames_h))), images, diff_images
 
     def step(self, check_gradient: bool = False):
         self.vertices = self.vertices - np.mean(self.vertices, axis=0)[None, :]

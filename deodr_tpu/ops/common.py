@@ -101,6 +101,28 @@ def _gather_rows_mm_bwd(res, ct):
 gather_rows_mm.defvjp(_gather_rows_mm_fwd, _gather_rows_mm_bwd)
 
 
+def match_vma(init, *refs):
+    """Stamp ``init``'s leaves with the union of ``refs``' varying-mesh-axes.
+
+    Under ``shard_map(..., check_vma=True)`` a ``lax.scan`` carry must keep
+    the same varying-manual-axes (vma) type on every iteration. A carry
+    initialized from constants is *unvarying*, but a body that folds in
+    device-sharded data produces a *varying* carry — a type mismatch even
+    though the computation is purely shard-local. This pre-stamps the init
+    as varying over whatever axes the actual data varies on (a no-op
+    ``pcast``, no communication). Outside shard_map it returns ``init``
+    untouched, so call sites stay shared with unsharded paths.
+    """
+    vma = frozenset()
+    for r in refs:
+        for leaf in jax.tree.leaves(r):
+            vma |= getattr(jax.typeof(leaf), "vma", None) or frozenset()
+    if not vma:
+        return init
+    axes = tuple(sorted(vma))
+    return jax.tree.map(lambda x: jax.lax.pcast(x, axes, to="varying"), init)
+
+
 def floor_div(num, den, lo, hi):
     """min(hi, max(lo, floor(num/den))) with the reference's den==0 semantics:
     returns hi when num <= 0 else lo (reference:

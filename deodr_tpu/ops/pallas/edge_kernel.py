@@ -44,6 +44,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from deodr_tpu.ops.pallas import out_struct, pallas_call_vma
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -277,7 +279,7 @@ def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs, counts):
     def tile_idx(i, j):
         return (i * cfg.n_tx + j, 0, 0)
 
-    return pl.pallas_call(
+    return pallas_call_vma(
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
@@ -289,7 +291,7 @@ def _edge_fwd_call(cfg, table_tile, buffer0, z_buffer, obs, counts):
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(buffer0.shape, dtype),
+        out_shape=out_struct(buffer0.shape, dtype),
         interpret=cfg.interpret,
     )(counts, table_tile, z_buffer, obs, buffer0)
 
@@ -311,7 +313,7 @@ def _edge_bwd(cfg, residuals, g_out):
     def tile_idx(i, j):
         return (i * cfg.n_tx + j, 0, 0)
 
-    g_table, g_buf0 = pl.pallas_call(
+    g_table, g_buf0 = pallas_call_vma(
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
@@ -327,8 +329,8 @@ def _edge_bwd(cfg, residuals, g_out):
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((cfg.n_ty * cfg.n_tx, cap, gw), dtype),
-            jax.ShapeDtypeStruct(final.shape, dtype),
+            out_struct((cfg.n_ty * cfg.n_tx, cap, gw), dtype),
+            out_struct(final.shape, dtype),
         ],
         scratch_shapes=[pltpu.VMEM((cap, gw, tw), dtype)],
         interpret=cfg.interpret,

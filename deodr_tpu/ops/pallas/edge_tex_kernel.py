@@ -45,6 +45,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from deodr_tpu.ops.pallas import out_struct, pallas_call_vma
 from jax.experimental.pallas import tpu as pltpu
 
 from deodr_tpu.ops.pallas.edge_kernel import (
@@ -420,7 +422,7 @@ def _tex_fwd_call(cfg, table_tile, windows, buffer0, z_buffer, obs, counts):
     def tile_idx(i, j):
         return (i * cfg.n_tx + j, 0, 0)
 
-    return pl.pallas_call(
+    return pallas_call_vma(
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
@@ -432,7 +434,7 @@ def _tex_fwd_call(cfg, table_tile, windows, buffer0, z_buffer, obs, counts):
             pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nch, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(buffer0.shape, dtype),
+        out_shape=out_struct(buffer0.shape, dtype),
         # the window stack + its gradient accumulator are VMEM-resident for
         # the whole grid; the 16 MiB default scoped-vmem limit is far below
         # the chip's physical VMEM (128 MiB on v5e)
@@ -458,7 +460,7 @@ def _tex_bwd(cfg, residuals, g_out):
     def tile_idx(i, j):
         return (i * cfg.n_tx + j, 0, 0)
 
-    g_table, g_buf0, g_windows = pl.pallas_call(
+    g_table, g_buf0, g_windows = pallas_call_vma(
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
@@ -476,9 +478,9 @@ def _tex_bwd(cfg, residuals, g_out):
             pl.BlockSpec((cfg.n_edges, c * cfg.win_h, cfg.win_w), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((cfg.n_ty * cfg.n_tx, cap, gw), dtype),
-            jax.ShapeDtypeStruct(final.shape, dtype),
-            jax.ShapeDtypeStruct(windows.shape, dtype),
+            out_struct((cfg.n_ty * cfg.n_tx, cap, gw), dtype),
+            out_struct(final.shape, dtype),
+            out_struct(windows.shape, dtype),
         ],
         scratch_shapes=[pltpu.VMEM((cap, gw, tw), dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

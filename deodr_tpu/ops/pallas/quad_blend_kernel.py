@@ -39,6 +39,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from deodr_tpu.ops.pallas import out_struct, pallas_call_vma
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -139,7 +141,7 @@ def _quad_blend_call(cfg, win_t, coeffs):
     c = cfg.nb_colors
     bq = cfg.block_q
     dtype = win_t.dtype
-    return pl.pallas_call(
+    return pallas_call_vma(
         functools.partial(_fwd_kernel, cfg),
         grid=(cfg.n_blocks,),
         in_specs=[
@@ -147,7 +149,7 @@ def _quad_blend_call(cfg, win_t, coeffs):
             pl.BlockSpec((16, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((4 * c, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4 * c, cfg.n_blocks * bq), dtype),
+        out_shape=out_struct((4 * c, cfg.n_blocks * bq), dtype),
         interpret=cfg.interpret,
     )(win_t, coeffs)
 
@@ -161,7 +163,7 @@ def _quad_blend_bwd(cfg, res, ct):
     c = cfg.nb_colors
     bq = cfg.block_q
     dtype = win_t.dtype
-    dwin, de = pl.pallas_call(
+    dwin, de = pallas_call_vma(
         functools.partial(_bwd_kernel, cfg),
         grid=(cfg.n_blocks,),
         in_specs=[
@@ -174,8 +176,8 @@ def _quad_blend_bwd(cfg, res, ct):
             pl.BlockSpec((8, bq), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((64 * c, cfg.n_blocks * bq), dtype),
-            jax.ShapeDtypeStruct((8, cfg.n_blocks * bq), dtype),
+            out_struct((64 * c, cfg.n_blocks * bq), dtype),
+            out_struct((8, cfg.n_blocks * bq), dtype),
         ],
         interpret=cfg.interpret,
     )(win_t, coeffs, ct)

@@ -39,6 +39,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from deodr_tpu.ops.pallas import out_struct, pallas_call_vma
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -197,7 +199,7 @@ def _raster_fwd_call(cfg, affine_tile, setup_tile, counts):
     def tile_idx(i, j):
         return (i * cfg.n_tx + j, 0, 0)
 
-    slot_map, z, vals = pl.pallas_call(
+    slot_map, z, vals = pallas_call_vma(
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
         in_specs=[
@@ -215,9 +217,9 @@ def _raster_fwd_call(cfg, affine_tile, setup_tile, counts):
             pl.BlockSpec((d, th, tw), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((cfg.n_ty * th, cfg.n_tx * tw), jnp.int32),
-            jax.ShapeDtypeStruct((cfg.n_ty * th, cfg.n_tx * tw), dtype),
-            jax.ShapeDtypeStruct((d, cfg.n_ty * th, cfg.n_tx * tw), dtype),
+            out_struct((cfg.n_ty * th, cfg.n_tx * tw), jnp.int32),
+            out_struct((cfg.n_ty * th, cfg.n_tx * tw), dtype),
+            out_struct((d, cfg.n_ty * th, cfg.n_tx * tw), dtype),
         ],
         interpret=cfg.interpret,
     )(counts, setup_tile, affine_tile)
@@ -237,7 +239,7 @@ def _raster_bwd(cfg, residuals, cotangents):
     dtype = g_vals.dtype
     grid = (cfg.n_ty, cfg.n_tx)
 
-    g_table = pl.pallas_call(
+    g_table = pallas_call_vma(
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
         in_specs=[
@@ -248,7 +250,7 @@ def _raster_bwd(cfg, residuals, cotangents):
         out_specs=pl.BlockSpec(
             (1, cap + 1, 3 * d), lambda i, j: (i * cfg.n_tx + j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((cfg.n_ty * cfg.n_tx, cap + 1, 3 * d), dtype),
+        out_shape=out_struct((cfg.n_ty * cfg.n_tx, cap + 1, 3 * d), dtype),
         scratch_shapes=[pltpu.VMEM((cap + 1, 3 * d, tw), dtype)],
         interpret=cfg.interpret,
     )(counts, slot_map, g_vals)

@@ -207,10 +207,15 @@ def find_winners(
         best_i = jnp.where(better, base + c_i.astype(jnp.int32), best_i)
         return (best_z, best_i, base + chunk), None
 
-    init = (
-        jnp.full((height, width), big),
-        jnp.full((height, width), -1, jnp.int32),
-        jnp.int32(0),
+    from deodr_tpu.ops.common import match_vma
+
+    init = match_vma(
+        (
+            jnp.full((height, width), big),
+            jnp.full((height, width), -1, jnp.int32),
+            jnp.int32(0),
+        ),
+        setup,
     )
     (z_buffer, winner, _), _ = jax.lax.scan(body, init, setup)
     return winner, z_buffer

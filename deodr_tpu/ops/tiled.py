@@ -64,9 +64,10 @@ class TilingConfig(NamedTuple):
     # pass: one 8×8 stride-2 window row per 2×2 screen quad (4× fewer
     # gather/scatter rows than per-pixel footprints), with quads whose taps
     # exceed the window (uv seams / minification) re-fetched per pixel
-    # through a compacted fallback list of THIS capacity. Results are
-    # bit-identical to the per-pixel fetch while the capacity holds
-    # (checked via check_capacity).
+    # through a compacted fallback list of THIS capacity. While the capacity
+    # holds (checked via check_capacity), results are bit-identical to the
+    # per-pixel fetch on the XLA extraction path, and equal up to f32/f64
+    # summation order (≤ 2 ulp) on the kernel path (use_kernel=True).
     quad_fallback_capacity: int = 0
     # texture-fetch block width (0 = tile_w): the compacted bilinear fetch
     # gates 8-row × tex_block_w blocks on the covered-textured flag;
@@ -403,11 +404,15 @@ def find_winners_tiled(
     strict_edge: bool,
     perspective_correct: bool,
     tiling: TilingConfig,
+    checks=None,
 ):
     """Tiled equivalent of :func:`deodr_tpu.ops.raster.find_winners`.
 
     Returns (winner (H, W) int32, z_buffer (H, W), max_bin_count) — the last
-    one lets callers check for capacity overflow.
+    one lets callers check for fine-bin capacity overflow. Supertile-bin
+    overflow (hierarchical binning) is only observable via ``checks``: the
+    returned max_bin_count is computed from fine counts AFTER the supertile
+    compaction has dropped items.
     """
     v_xy = jax.lax.stop_gradient(v_xy)
     v_z = jax.lax.stop_gradient(v_z)
@@ -421,7 +426,7 @@ def find_winners_tiled(
     y_hi_all = setup.y_hi[:, 1]
     slots, slot_valid, counts = _bin_boxes(
         tiling, setup.x_lo, setup.x_hi, y_lo_all, y_hi_all, setup.valid,
-        n_ty, n_tx, tiling.triangle_capacity,
+        n_ty, n_tx, tiling.triangle_capacity, checks=checks,
     )
 
     big = jnp.asarray(jnp.inf, dtype)
@@ -470,11 +475,13 @@ def find_winners_tiled(
     return winner[:height, :width], z_buffer[:height, :width], jnp.max(counts)
 
 
-def _winner_slots_tiled(setup: TriangleRowSetup, width, height, strict_edge, perspective_correct, tiling):
+def _winner_slots_tiled(setup: TriangleRowSetup, width, height, strict_edge, perspective_correct, tiling, checks=None):
     """Per-tile visibility: returns (slots (n_tiles, K), best_slot
     (n_tiles, th, tw) int32 with K meaning 'miss', z (n_tiles, th, tw),
     max_count). Identical coverage/z math to find_winners_tiled but keeps
-    the winner as a *tile-local slot index* for matmul-based shading."""
+    the winner as a *tile-local slot index* for matmul-based shading.
+    ``checks`` surfaces supertile-bin overflow (hierarchical binning), which
+    the returned fine-count max cannot see."""
     dtype = setup.z_coef.dtype
     th, tw = tiling.tile_h, tiling.tile_w
     n_ty = -(-height // th)
@@ -483,7 +490,7 @@ def _winner_slots_tiled(setup: TriangleRowSetup, width, height, strict_edge, per
 
     slots, slot_valid, counts = _bin_boxes(
         tiling, setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
-        n_ty, n_tx, cap,
+        n_ty, n_tx, cap, checks=checks,
     )
     cap = slots.shape[1]  # may be < capacity when there are few triangles
     big = jnp.asarray(jnp.inf, dtype)
@@ -600,7 +607,7 @@ def rasterize_tiled(
         width, height, scene.strict_edge, persp,
     )
     slots, best_slot, z_t, max_count = _winner_slots_tiled(
-        setup, width, height, scene.strict_edge, persp, tiling
+        setup, width, height, scene.strict_edge, persp, tiling, checks=checks
     )
     cap = slots.shape[1]
 

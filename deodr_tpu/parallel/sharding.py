@@ -79,6 +79,10 @@ def make_tile_sharded_render(
     per band (a band's occupancies are bounded by the full frame's, so a
     single-device plan stays valid).
     """
+    from deodr_tpu.ops.render import default_impl
+
+    if impl is None:
+        impl = default_impl()
     n_bands = mesh.shape["tiles"]
     height, width = scene_shape.height, scene_shape.width
     band_h = -(-height // n_bands)
@@ -109,12 +113,17 @@ def make_tile_sharded_render(
         mesh=mesh,
         in_specs=(P(),),
         out_specs=(P("tiles", None, None), P("tiles", None)),
-        # pallas_call inside shard_map requires explicit vma annotations on
-        # its out_shapes under the varying-manual-axes checker; the kernels
-        # are shared with unsharded paths, so disable the check here. Net:
-        # the sharded-vs-single-device equivalence tests in
-        # tests/test_parallel.py (keep them green when editing band_fn).
-        check_vma=False,
+        # varying-manual-axes checker: ON for the XLA paths (it would catch
+        # any accidental cross-band dependence introduced by future edits to
+        # band_fn or the tiled renderer). The Pallas kernels declare their
+        # out_shape vma via ops.pallas.pallas_call_vma, but jax 0.9 still
+        # drops vma on primitive OUTPUTS inside pallas kernel traces
+        # (minimal repro: a fori_loop whose body adds two {V:tiles} values
+        # yields an unvarying carry and the scan typecheck fails), so the
+        # checker must stay off for impl="pallas" until that propagation is
+        # fixed upstream. Safety net there: the pallas sharded-vs-single
+        # equivalence tests (forward AND gradients) in tests/test_parallel.py.
+        check_vma=(impl != "pallas"),
     )
 
     @jax.jit

@@ -703,6 +703,9 @@ class Scene3D:
             super_occ_sel = int(stats[8 + 3 * n_cand + k])
             tex_tile_cap = 0
             tex_block_w = 0
+            occ_bw = 0  # stays 0 when no texture path is planned; the
+            # hysteresis clause below must then still be well-defined (the
+            # cached plan may carry tex capacities from a prior textured mesh)
             quad_fallback_cap = 0
             if for_pallas and mesh.texture is not None:
                 # the texture fetch compacts 8-ROW blocks (independent of the
@@ -848,7 +851,8 @@ class Scene3D:
                 and (
                     (tiling.tex_tile_capacity == 0 and l_tiling.tex_tile_capacity == 0)
                     or (
-                        l_tiling.tex_block_w == tiling.tex_block_w
+                        tiling.tex_tile_capacity > 0
+                        and l_tiling.tex_block_w == tiling.tex_block_w
                         and occ_bw <= l_tiling.tex_tile_capacity <= 4 * max(tiling.tex_tile_capacity, 8)
                     )
                 )

@@ -74,6 +74,76 @@ def test_adequate_capacities_pass_and_match_unchecked():
     np.testing.assert_allclose(np.asarray(img_checked), np.asarray(img_plain), atol=1e-12)
 
 
+def _depth_fitter(h=64, w=64):
+    from deodr_tpu.geometry.primitives import octahedron_mesh
+    from deodr_tpu.mesh_fitter import MeshDepthFitter
+
+    base = octahedron_mesh(n_subdivision=3)  # 512 faces -> tiled plan
+    fitter = MeshDepthFitter(
+        vertices=np.asarray(base.vertices),
+        faces=np.asarray(base.faces),
+        euler_init=np.zeros(3),
+        translation_init=np.zeros(3),
+    )
+    rng = np.random.RandomState(0)
+    fitter.set_image(0.4 + 0.1 * rng.rand(h, w), focal=120, distortion=None)
+    fitter.set_max_depth(2.0)
+    fitter.set_depth_scale(0.5)
+    return fitter
+
+
+def _poke_plan(fitter, **tiling_updates):
+    """Overwrite the fitter's cached plan with a corrupted tiling (simulates
+    geometry drifting past a stale plan)."""
+    core = fitter.core
+    key = ("last_plan",) + core._plan_ctx(fitter.camera)[4][1:]
+    cap, tiling = core._jit_cache[key]
+    core._jit_cache[key] = (cap, tiling._replace(**tiling_updates))
+    return cap, tiling
+
+
+def test_fitter_replans_on_poked_capacity_not_degraded():
+    """Shrinking a plan capacity mid-fit must trigger a replan (via the
+    post-hoc stats validation), producing the SAME energies as an untouched
+    fit — never a silently degraded render."""
+    ref = _depth_fitter()
+    ref_energies = [ref.step()[0] for _ in range(4)]
+
+    poked = _depth_fitter()
+    e0 = poked.step()[0]
+    e1 = poked.step()[0]
+    _poke_plan(poked, triangle_capacity=2)
+    e2 = poked.step()[0]
+    e3 = poked.step()[0]
+    np.testing.assert_allclose([e0, e1, e2, e3], ref_energies, rtol=1e-12)
+
+
+def test_fitter_periodic_checkified_validation_catches_stats_blind_overflow(monkeypatch):
+    """The every-N checkified step must catch an overflow the bbox-stats
+    validation cannot see, warn, and replan — exercised by blinding
+    plan_fits and corrupting the cached plan."""
+    import warnings
+
+    from deodr_tpu.mesh_fitter import _FitterRenderCore
+
+    ref = _depth_fitter()
+    ref_energies = [ref.step()[0] for _ in range(3)]
+
+    poked = _depth_fitter()
+    poked.core.check_every = 1
+    e0 = poked.step()[0]
+    e1 = poked.step()[0]
+    _poke_plan(poked, triangle_capacity=2)
+    monkeypatch.setattr(_FitterRenderCore, "plan_fits", lambda self, *a, **k: True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        e2 = poked.step()[0]
+    assert any("replanning" in str(w.message) for w in caught), (
+        "checkified validation should have warned and replanned"
+    )
+    np.testing.assert_allclose([e0, e1, e2], ref_energies, rtol=1e-12)
+
+
 def test_checkify_composes_under_jit():
     from jax.experimental import checkify
 

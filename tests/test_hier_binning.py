@@ -112,3 +112,16 @@ def test_supertile_overflow_is_loud():
         render_scene_checked(
             scene, 0.0, tiling=tiny, impl="pallas", impl_interpret=True
         )
+
+
+def test_supertile_overflow_is_loud_xla():
+    # the XLA tiled path bins through _winner_slots_tiled, a different call
+    # chain than the Pallas path — an overflowing supertile bin must be just
+    # as loud there (it used to drop triangles silently)
+    import pytest
+    from deodr_tpu.ops.render import render_scene_checked
+
+    scene = _scene(seed=13)
+    tiny = HIER._replace(super_capacity=4)
+    with pytest.raises(Exception, match="supertile bin overflow"):
+        render_scene_checked(scene, 0.0, tiling=tiny, impl="xla")
