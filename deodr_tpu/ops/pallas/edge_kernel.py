@@ -10,19 +10,21 @@ the whole painter's-algorithm loop:
         A  = b0·attrs0 + b1·attrs1     (edge color)
         buffer ← mask ? T·buffer + (1−T)·A : buffer
 
-with the band mask evaluated by the reference's sequential inequality
-refinement (reference: C++/DifferentiableRenderer.h:2620-2648) and the
-z-test against the solid pass's z-buffer (strict <, no z write).
+with the band mask evaluated as four uniform plane-threshold tests that
+encode the reference's sequential inequality refinement semantics
+(reference: C++/DifferentiableRenderer.h:2620-2648 — see _band_mask_and_t)
+and the z-test against the solid pass's z-buffer (strict <, no z write).
 
 The backward kernel runs the loop in reverse, reconstructing the pre-blend
 buffer by inverting the blend — buffer = (out − (1−T)·A)/T — exactly the
 reference adjoint's trick (reference: C++/DifferentiableRenderer.h:1738),
 and reduces the pixel cotangents into per-slot gradients of the stencil
-coefficient rows (b0, b1, T rows) and endpoint attributes. XLA chains those
+coefficient rows (T row and per-channel attribute rows). XLA chains those
 to vertex positions through the (differentiable) stencil matrix inverse.
 
-Edge-table row layout (width = 11 + 3·C + 4):
-  [b0 coeffs (3) | b1 coeffs (3) | t coeffs (3) | y_begin | y_end |
+Edge-table row layout (width = 25 + 3·C):
+  [transformed band-clip inequality coeffs (4 x 3) | thresholds (4) |
+   t coeffs (3) | y_begin | y_end |
    a coeffs (3 per channel: ax, ay, ac) | z coeffs (3) | active]
 
 The per-channel edge color a_ch = b0·attrs0[ch] + b1·attrs1[ch] and the
@@ -61,31 +63,26 @@ class PallasEdgeConfig(NamedTuple):
 
 
 def edge_row_width(nb_colors: int) -> int:
-    return 11 + 3 * nb_colors + 4
+    return 25 + 3 * nb_colors
 
 
-_E_B0, _E_B1, _E_T = 0, 3, 6
-_E_YBEG, _E_YEND = 9, 10
-_E_A = 11  # 3 columns (ax, ay, ac) per channel
+_E_I = 0  # 4 transformed band-clip inequality rows x 3 coeffs
+_E_TH = 12  # 4 per-inequality comparison thresholds
+_E_T = 16
+_E_YBEG, _E_YEND = 19, 20
+_E_A = 21  # 3 columns (ax, ay, ac) per channel
 
 
 def _e_z(nb_colors: int) -> int:
-    return 11 + 3 * nb_colors
+    return 21 + 3 * nb_colors
 
 
 def _e_act(nb_colors: int) -> int:
-    return 14 + 3 * nb_colors
+    return 24 + 3 * nb_colors
 
 
 def _grad_row_width(nb_colors: int) -> int:
     return 3 + 3 * nb_colors
-
-
-def _floor_div_k(num, den, lo, hi):
-    q = jnp.floor(num / jnp.where(den == 0, 1.0, den))
-    q = jnp.clip(q, lo, hi)
-    q0 = jnp.where(num <= 0, hi, lo)
-    return jnp.where(den == 0, q0, q)
 
 
 def _affine_plane(xc, yc, cc, yrow, xx):
@@ -96,29 +93,37 @@ def _affine_plane(xc, yc, cc, yrow, xx):
 
 def _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f):
     """Blend mask and transparency plane T for one edge row (``row`` is a
-    scalar accessor: j -> SMEM scalar). b0/b1 planes are never materialized:
-    they only enter the band-clip inequalities (evaluated on (th, 1) rows);
-    the depth plane uses the XLA-prefolded z coefficients."""
+    scalar accessor: j -> SMEM scalar). The depth plane uses the
+    XLA-prefolded z coefficients.
+
+    The band clip evaluates the four inequalities as uniform threshold
+    tests ``plane_i > θ_i`` of XLA-pretransformed rows (see
+    ``_transform_ineq_rows`` in ops/tiled.py): the transform encodes the
+    reference's rational x-range semantics — strict > for a > 0, ≥ 0 for
+    a < 0 (θ = −min_normal), and the den == 0 row convention by sign
+    flip — so the predicate is the SAME in exact arithmetic. In fp32 the
+    two roundings (a·x + py here vs the floored num/a division in the
+    reference emulation) can disagree only for pixels within ~2 ulp of an
+    exact band boundary — the same boundary-pixel deviation class the
+    textured edge kernel documents vs the sequential path. The rational
+    refinement form this replaces measured ~50% of the kernel's device
+    time: its (th, 1) column chains occupy full vregs (1 of 128 lanes
+    used), so ~48 column ops and four divisions per slot cost like 48
+    full-tile ops; the threshold form is ~4 fused planes and
+    division-free. The XLA tiled/windowed paths keep the rational
+    refinement (bit-parity with the compiled reference core).
+    """
     c = cfg.nb_colors
     t = _affine_plane(row(_E_T), row(_E_T + 1), row(_E_T + 2), yrow, xx)
 
-    # the four band inequalities, refined sequentially per row like the
-    # reference (x_begin/x_end are (th, 1) columns)
-    ineq = (
-        (row(_E_B0), row(_E_B0 + 1), row(_E_B0 + 2)),
-        (row(_E_B1), row(_E_B1 + 1), row(_E_B1 + 2)),
-        (row(_E_T), row(_E_T + 1), row(_E_T + 2)),
-        (-row(_E_T), -row(_E_T + 1), 1.0 - row(_E_T + 2)),
-    )
-    x_begin = jnp.zeros_like(yrow)
-    x_end = jnp.full_like(yrow, width_f - 1.0)
-    for a, b, cc in ineq:
-        num = -(b * yrow + cc)
-        fd = _floor_div_k(num, a, x_begin - 1, x_end + 1)
-        x_end = jnp.where(a < 0, jnp.minimum(x_end, fd), x_end)
-        x_begin = jnp.where(a < 0, x_begin, jnp.maximum(x_begin, 1 + fd))
+    cov = None
+    for i in range(4):
+        j = _E_I + 3 * i
+        plane = row(j) * xx + (row(j + 1) * yrow + row(j + 2))
+        ok = plane > row(_E_TH + i)
+        cov = ok if cov is None else cov & ok
     row_ok = (yrow >= row(_E_YBEG)) & (yrow <= row(_E_YEND))
-    cov = row_ok & (xx >= x_begin) & (xx <= x_end)
+    cov &= row_ok
 
     zc = _e_z(c)
     active = row(_e_act(c)) > 0.5
@@ -193,6 +198,8 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
     count = jnp.minimum(count_ref[0, tile_id], cap)
 
+    nq = 1 + c  # gradient quantities: t plus one attribute row per channel
+
     def body(i, carry):
         k = count - 1 - i
         bufs, gbufs = carry
@@ -202,9 +209,12 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
         rt = 1.0 / _t_div(t)
         one_minus_t = 1.0 - t
 
-        # per-slot reductions stop at the sublane axis: (tw,) lane partials
-        # land in VMEM scratch; the (expensive) cross-lane reduction runs
-        # once per tile after the loop instead of 3+3C times per slot
+        # Per-slot reductions store only TWO lane partials per quantity —
+        # Σ_y g and Σ_y g·y — because the x-weighted moment is recoverable
+        # after the loop as a lane-weighted reduction of Σ_y g (x is
+        # constant along the sublane axis). The (expensive) cross-lane
+        # reductions run once per tile after the loop.
+        ga_parts = []
         if cfg.error_mode:
             a = []
             err = jnp.zeros((th, tw), dtype)
@@ -220,9 +230,8 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
             g_err = g_masked * one_minus_t
             for ch in range(c):
                 g_a = g_err * 2.0 * (a[ch] - obs_ref[ch, :, :])
-                scratch_ref[k, 3 + 3 * ch, :] = jnp.sum(g_a * xx, axis=0)
-                scratch_ref[k, 4 + 3 * ch, :] = jnp.sum(g_a * yrow, axis=0)
-                scratch_ref[k, 5 + 3 * ch, :] = jnp.sum(g_a, axis=0)
+                ga_parts.append(jnp.sum(g_a, axis=0))
+                ga_parts.append(jnp.sum(g_a * yrow, axis=0))
             new_bufs = (before0,)
             new_gbufs = (jnp.where(mask, t * g_out, g_out),)
         else:
@@ -236,17 +245,15 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
                 g_masked = jnp.where(mask, g_out, 0.0)
                 g_t = g_t + g_masked * (before - a_ch)
                 g_a = g_masked * one_minus_t
-                scratch_ref[k, 3 + 3 * ch, :] = jnp.sum(g_a * xx, axis=0)
-                scratch_ref[k, 4 + 3 * ch, :] = jnp.sum(g_a * yrow, axis=0)
-                scratch_ref[k, 5 + 3 * ch, :] = jnp.sum(g_a, axis=0)
+                ga_parts.append(jnp.sum(g_a, axis=0))
+                ga_parts.append(jnp.sum(g_a * yrow, axis=0))
                 new_bufs.append(before)
                 new_gbufs.append(jnp.where(mask, t * g_out, g_out))
             new_bufs = tuple(new_bufs)
             new_gbufs = tuple(new_gbufs)
 
-        scratch_ref[k, 0, :] = jnp.sum(g_t * xx, axis=0)
-        scratch_ref[k, 1, :] = jnp.sum(g_t * yrow, axis=0)
-        scratch_ref[k, 2, :] = jnp.sum(g_t, axis=0)
+        parts = [jnp.sum(g_t, axis=0), jnp.sum(g_t * yrow, axis=0)] + ga_parts
+        scratch_ref[pl.ds(k, 1), :, :] = jnp.stack(parts)[None]  # (1, 2·nq, tw)
         return new_bufs, new_gbufs
 
     bufs = tuple(buf_final_ref[ch, :, :] for ch in range(nch))
@@ -254,9 +261,19 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
     bufs, gbufs = jax.lax.fori_loop(0, count, body, (bufs, gbufs))
     for ch in range(nch):
         gbuf0_ref[ch, :, :] = gbufs[ch]
-    # finish the deferred lane reductions for all slots at once; rows past
-    # count hold stale scratch and are masked by the XLA wrapper
-    gtable_ref[0, :, :] = jnp.sum(scratch_ref[:, :, :], axis=-1)
+    # finish the deferred lane reductions for all slots at once: quantity q
+    # yields gradient-row columns [Σ g·x | Σ g·y | Σ g] from its two stored
+    # partials (Σ g·x = Σ_lanes x · Σ_y g). Rows past count hold stale
+    # scratch and are masked by the XLA wrapper.
+    x_lane = (tx * tw + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)).astype(dtype)
+    cols = []
+    for q in range(nq):
+        s1 = scratch_ref[:, 2 * q, :]  # (cap, tw): Σ_y g
+        s2 = scratch_ref[:, 2 * q + 1, :]  # Σ_y g·y
+        cols.append(jnp.sum(s1 * x_lane, axis=-1, keepdims=True))
+        cols.append(jnp.sum(s2, axis=-1, keepdims=True))
+        cols.append(jnp.sum(s1, axis=-1, keepdims=True))
+    gtable_ref[0, :, :] = jnp.concatenate(cols, axis=-1)  # (cap, 3·nq)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -332,7 +349,7 @@ def _edge_bwd(cfg, residuals, g_out):
             out_struct((cfg.n_ty * cfg.n_tx, cap, gw), dtype),
             out_struct(final.shape, dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((cap, gw, tw), dtype)],
+        scratch_shapes=[pltpu.VMEM((cap, 2 * (1 + c), tw), dtype)],
         interpret=cfg.interpret,
     )(counts, table_tile, z_buffer, obs, final, g_out)
 
@@ -345,7 +362,7 @@ def _edge_bwd(cfg, residuals, g_out):
     # y bounds, z coefficients and the active flag are non-differentiable
     g_table_full = jnp.concatenate(
         [
-            jnp.zeros((g_table.shape[0], cap, 6), dtype),  # b0, b1 coeffs
+            jnp.zeros((g_table.shape[0], cap, 16), dtype),  # ineq rows + thetas
             g_table[:, :, 0:3],  # t coeffs
             jnp.zeros((g_table.shape[0], cap, 2), dtype),  # y_begin, y_end
             g_table[:, :, 3 : 3 + 3 * c],  # a coeffs

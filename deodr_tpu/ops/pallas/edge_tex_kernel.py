@@ -506,7 +506,7 @@ def _tex_bwd(cfg, residuals, g_out):
     zeros = lambda w: jnp.zeros((g_table.shape[0], cap, w), dtype)
     g_table_full = jnp.concatenate(
         [
-            zeros(6),  # b0, b1 coeffs
+            zeros(16),  # transformed ineq rows + thetas
             g_table[:, :, 0:3],  # t coeffs
             zeros(2),  # y_begin, y_end
             g_table[:, :, 3 : 3 + 3 * c],  # a coeffs

@@ -90,28 +90,44 @@ def _pixel_coords(cfg, dtype):
 
 def _coverage_and_z(cfg, row, yrow, xx):
     """Exact coverage predicate + affine depth for one setup row (``row`` is
-    a scalar accessor: j -> SMEM scalar). The rational x-range bounds depend
-    on y only, so they are evaluated on (th, 1) columns — the expensive
-    divides run once per row instead of once per pixel — and only the final
-    comparisons broadcast against the (th, tw) xx grid."""
+    a scalar accessor: j -> SMEM scalar).
+
+    strict_edge (the default): the left/right edge equations arrive SIGN-
+    NORMALIZED from ``_pack_setup_rows`` so coverage is two uniform plane-
+    threshold tests per sub-triangle — left ``plane > 0`` (strict), right
+    ``plane > −min_normal`` (i.e. ≥ 0 exactly for normal floats) — which
+    encode the reference's rational x-range semantics (reference:
+    C++/DifferentiableRenderer.h:864-906) at the predicate level. The
+    rational emulation this replaces ran ~4 divisions and ~30 (th, 1)
+    column ops per slot, each occupying full vregs (1 of 128 lanes used);
+    fp rounding of the two forms can disagree only for pixels within ~2 ulp
+    of an exact edge (the boundary-pixel deviation class the edge kernels
+    document). The non-strict path keeps the rational emulation: its
+    den == 0 ceil convention is not expressible as one sign-normalized
+    threshold."""
     valid = row(_S_VALID) > 0.5
     x_lo = row(_S_XLO)
     x_hi = row(_S_XHI)
     cov = jnp.zeros(xx.shape, jnp.bool_)
+    theta_r = -float(jnp.finfo(yrow.dtype).tiny)
     for p in range(2):
         la, lb, lc = row(_S_LEQ + 3 * p), row(_S_LEQ + 3 * p + 1), row(_S_LEQ + 3 * p + 2)
         ra, rb, rc = row(_S_REQ + 3 * p), row(_S_REQ + 3 * p + 1), row(_S_REQ + 3 * p + 2)
-        num_l = -(lb * yrow + lc)
-        num_r = -(rb * yrow + rc)
-        if cfg.strict_edge:
-            t_l = 1 + _floor_div_k(num_l, la, x_lo - 1, x_hi)
-        else:
-            t_l = _ceil_div_k(num_l, la, x_lo - 1, x_hi)
-        t_r = _floor_div_k(num_r, ra, x_lo - 1, x_hi)
-        x_begin = jnp.maximum(x_lo, t_l)  # (th, 1)
-        x_end = jnp.minimum(x_hi, t_r)
         row_ok = (yrow >= row(_S_YLO0 + p)) & (yrow <= row(_S_YHI0 + p))
-        cov = cov | (row_ok & (xx >= x_begin) & (xx <= x_end))
+        if cfg.strict_edge:
+            plane_l = la * xx + (lb * yrow + lc)
+            plane_r = ra * xx + (rb * yrow + rc)
+            cov = cov | (row_ok & (plane_l > 0.0) & (plane_r > theta_r))
+        else:
+            num_l = -(lb * yrow + lc)
+            num_r = -(rb * yrow + rc)
+            t_l = _ceil_div_k(num_l, la, x_lo - 1, x_hi)
+            t_r = _floor_div_k(num_r, ra, x_lo - 1, x_hi)
+            x_begin = jnp.maximum(x_lo, t_l)  # (th, 1)
+            x_end = jnp.minimum(x_hi, t_r)
+            cov = cov | (row_ok & (xx >= x_begin) & (xx <= x_end))
+    if cfg.strict_edge:
+        cov = cov & (xx >= x_lo) & (xx <= x_hi)
     z_y = row(_S_Z + 1) * yrow + row(_S_Z + 2)  # (th, 1)
     zlin = row(_S_Z) * xx + z_y
     z = 1.0 / zlin if cfg.perspective_correct else zlin
@@ -163,24 +179,33 @@ def _bwd_kernel(cfg: PallasRasterConfig, count_ref, slot_ref, gvals_ref, gtable_
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
     count = jnp.minimum(count_ref[0, tile_id], cap)
 
-    # per-pixel coordinate-weighted cotangents are slot-independent: hoist
-    # them out of the slot loop
-    gx = tuple(gvals_ref[j, :, :] * xx for j in range(d))
+    # the y-weighted cotangents are slot-independent: hoist them out of the
+    # slot loop. No x-weighted hoists: Σ_y g·x = x · Σ_y g (x is constant
+    # along sublanes), recovered from the plain partial after the loop.
     gy = tuple(gvals_ref[j, :, :] * yrow for j in range(d))
 
     def body(k, _):
         mask = (best_slot == k).astype(dtype)
-        # reduce sublanes only; the cross-lane reduction happens once per
-        # tile after the loop (scratch holds (tw,) lane partials per slot)
+        # TWO sublane partials per attribute — Σ_y g and Σ_y g·y; cross-lane
+        # reductions and the x moment happen once per tile after the loop
         for j in range(d):
-            scratch_ref[k, j, :] = jnp.sum(gx[j] * mask, axis=0)
+            scratch_ref[k, j, :] = jnp.sum(gvals_ref[j, :, :] * mask, axis=0)
             scratch_ref[k, d + j, :] = jnp.sum(gy[j] * mask, axis=0)
-            scratch_ref[k, 2 * d + j, :] = jnp.sum(gvals_ref[j, :, :] * mask, axis=0)
         return 0
 
     # rows >= count stay uninitialized; the XLA wrapper masks them out
     jax.lax.fori_loop(0, count, body, 0)
-    gtable_ref[0, :, :] = jnp.sum(scratch_ref[:, :, :], axis=-1)
+    x_lane = (pl.program_id(1) * tw + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)).astype(dtype)
+    cols = []
+    for j in range(d):
+        s1 = scratch_ref[:, j, :]  # (cap, tw): Σ_y g
+        s2 = scratch_ref[:, d + j, :]  # Σ_y g·y
+        cols.append(jnp.sum(s1 * x_lane, axis=-1, keepdims=True))
+    for j in range(d):
+        cols.append(jnp.sum(scratch_ref[:, d + j, :], axis=-1, keepdims=True))
+    for j in range(d):
+        cols.append(jnp.sum(scratch_ref[:, j, :], axis=-1, keepdims=True))
+    gtable_ref[0, :, :] = jnp.concatenate(cols, axis=-1)  # (cap, 3d): [gx | gy | gc]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -251,7 +276,7 @@ def _raster_bwd(cfg, residuals, cotangents):
             (1, cap + 1, 3 * d), lambda i, j: (i * cfg.n_tx + j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=out_struct((cfg.n_ty * cfg.n_tx, cap + 1, 3 * d), dtype),
-        scratch_shapes=[pltpu.VMEM((cap + 1, 3 * d, tw), dtype)],
+        scratch_shapes=[pltpu.VMEM((cap + 1, 2 * d, tw), dtype)],
         interpret=cfg.interpret,
     )(counts, slot_map, g_vals)
     # rows past each tile's count (incl. the miss row) are uninitialized

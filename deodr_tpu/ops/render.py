@@ -358,38 +358,63 @@ def _build_edge_data(
     cheaper than 3·T.
     """
     nt = scene.faces.shape[0]
+    dtype = ij_off.dtype
     sum_depth = jnp.sum(scene.depths[scene.faces], axis=1)
     order = _order_descending(sum_depth)  # back-to-front
 
-    tri = jnp.repeat(order, 3)  # (3T,)
+    # TWO T-row gathers pull every per-face quantity into depth order at
+    # once (TPU gathers cost ~13 cycles per ROW regardless of width); the
+    # per-edge-slot values below come from 3-way arithmetic selects instead
+    # of the ~10 separate 3T-row gathers this replaces.
+    int_cols = jnp.concatenate([scene.faces, scene.faces_uv], axis=1)[order]  # (T, 6)
+    flag_cols = jnp.concatenate(
+        [
+            scene.edgeflags.astype(dtype),
+            (scene.textured & scene.shaded)[:, None].astype(dtype),
+            (signed_area_v > 0)[:, None].astype(dtype),
+        ],
+        axis=1,
+    )[order]  # (T, 5)
+    int3 = jnp.repeat(int_cols, 3, axis=0)  # (3T, 6)
+    flag3 = jnp.repeat(flag_cols, 3, axis=0)  # (3T, 5)
     slot = jnp.tile(jnp.arange(3), nt)
-    active = scene.edgeflags[tri, slot] & (signed_area_v[tri] > 0)
+
+    def pick3(mat, base, sel):
+        return jnp.where(
+            sel == 0, mat[:, base], jnp.where(sel == 1, mat[:, base + 1], mat[:, base + 2])
+        )
+
+    def active_of(flags, sel):
+        return (pick3(flags, 0, sel) > 0.5) & (flags[:, 4] > 0.5)
+
+    active = active_of(flag3, slot)
 
     if aa_edge_capacity is not None and aa_edge_capacity < 3 * nt:
         if checks is not None:
             checks.append(("AA edge compaction", jnp.sum(active), aa_edge_capacity))
         # sort-free compaction: prefix-count ranks + one-hot contraction keep
-        # active edges in depth order while moving them to the front. Done on
-        # the (integer, non-differentiable) index level BEFORE any other
-        # gather — TPU gathers cost ~13 cycles per row, so every per-slot
-        # array derived below is capacity-sized instead of 3·T-sized.
+        # active edges in depth order while moving them to the front, on the
+        # (integer, non-differentiable) index level, so every per-slot array
+        # derived below is capacity-sized instead of 3·T-sized
         activef = active.astype(jnp.float32)
         rank = (jnp.cumsum(activef) - activef).astype(jnp.int32)
         ks = jnp.arange(aa_edge_capacity, dtype=jnp.int32)
         onehot = ((rank[:, None] == ks[None, :]) & active[:, None]).astype(jnp.float32)
         perm = jnp.einsum("nk,n->k", onehot, jnp.arange(3 * nt, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
         got = ks < jnp.sum(active).astype(jnp.int32)
-        tri = order[perm // 3]
         slot = perm % 3
-        active = active[perm] & got
+        int3 = int3[perm]
+        flag3 = flag3[perm]
+        active = active_of(flag3, slot) & got
 
-    sub0 = jnp.array([1, 2, 0])[slot]
-    sub1 = jnp.array([0, 1, 2])[slot]
-    i0 = scene.faces[tri, sub0]
-    i1 = scene.faces[tri, sub1]
-    iuv0 = scene.faces_uv[tri, sub0]
-    iuv1 = scene.faces_uv[tri, sub1]
-    use_texture = scene.textured[tri] & scene.shaded[tri]
+    # edge endpoints (1,0), (2,1), (0,2) per slot (reference:
+    # C++/DifferentiableRenderer.h:2822): vertex column (slot+1)%3 and slot
+    sub0 = (slot + 1) % 3
+    i0 = pick3(int3, 0, sub0)
+    i1 = pick3(int3, 0, slot)
+    iuv0 = pick3(int3, 3, sub0)
+    iuv1 = pick3(int3, 3, slot)
+    use_texture = flag3[:, 3] > 0.5
 
     # ONE feature-matrix gather per endpoint (positions+depth+colors+shade
     # stacked as columns) with a matmul adjoint: the per-array gathers this
@@ -400,7 +425,7 @@ def _build_edge_data(
     )
     e0 = gather_rows_mm(feat, i0)
     e1 = gather_rows_mm(feat, i1)
-    has_uv = scene.uv.shape[0] > 0
+    has_uv = scene.texture is not None and scene.uv.shape[0] > 0
     uvs = (
         jnp.stack([gather_rows_mm(scene.uv, iuv0), gather_rows_mm(scene.uv, iuv1)], axis=1)
         if has_uv

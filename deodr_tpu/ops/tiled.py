@@ -914,18 +914,39 @@ def _finish_shading_tile_tex(
     return jnp.where(covered[..., None], pix, background)
 
 
-def _pack_setup_rows(setup: TriangleRowSetup, dtype):
+def _pack_setup_rows(setup: TriangleRowSetup, dtype, strict_edge: bool = True):
     """Pack TriangleRowSetup into the (T, 22) float layout consumed by the
-    Pallas kernel (see deodr_tpu.ops.pallas.raster_kernel)."""
+    Pallas kernel (see deodr_tpu.ops.pallas.raster_kernel).
+
+    For strict_edge, the left/right edge equations are SIGN-NORMALIZED so
+    the kernel's coverage is a uniform plane-threshold test encoding the
+    reference's rational x-range semantics: a left equation with
+    a ≤ 0 (including the den == 0 row convention) and a right equation with
+    a > 0 are negated, making inclusion exactly ``plane > 0`` (left,
+    strict) and ``plane ≥ 0`` (right) — see raster_kernel._coverage_and_z.
+    """
+
+    def norm_left(eq):  # (T, 2, 3)
+        if not strict_edge:
+            return eq
+        return jnp.where((eq[:, :, 0:1] > 0), eq, -eq)
+
+    def norm_right(eq):
+        if not strict_edge:
+            return eq
+        return jnp.where((eq[:, :, 0:1] > 0), -eq, eq)
+
+    leq = norm_left(setup.left_eq)
+    req = norm_right(setup.right_eq)
     cols = [
         setup.y_lo[:, 0:1],
         setup.y_lo[:, 1:2],
         setup.y_hi[:, 0:1],
         setup.y_hi[:, 1:2],
-        setup.left_eq[:, 0, :],
-        setup.left_eq[:, 1, :],
-        setup.right_eq[:, 0, :],
-        setup.right_eq[:, 1, :],
+        leq[:, 0, :],
+        leq[:, 1, :],
+        req[:, 0, :],
+        req[:, 1, :],
         setup.x_lo[:, None],
         setup.x_hi[:, None],
         setup.z_coef,
@@ -992,7 +1013,7 @@ def rasterize_tiled_pallas(
     )
     cap = slots.shape[1]
 
-    packed = _pack_setup_rows(setup, dtype)  # (T, 22)
+    packed = _pack_setup_rows(setup, dtype, scene.strict_edge)  # (T, 22)
     setup_tile = packed[slots]  # (n_tiles, cap, 22)
     setup_tile = setup_tile.at[:, :, SETUP_WIDTH - 1].multiply(slot_valid.astype(dtype))
     # SMEM layout: the narrow axis must be the row axis (Mosaic pads every
@@ -1151,6 +1172,41 @@ def suggest_tiling(
     )
 
 
+def _transform_ineq_rows(b0c, b1c, tc, dtype):
+    """Pre-transform the four band-clip inequality rows so the Pallas edge
+    kernel's inclusion predicate is a uniform ``plane > θ`` per inequality.
+
+    Encodes the reference's rational x-range semantics (reference:
+    C++/DifferentiableRenderer.h:2620-2648; emulated by floor_div in
+    ops/common.py) at the predicate level: for a row (a, b, c) with plane
+    p(x, y) = a·x + b·y + c, a pixel is kept iff p > 0 when a > 0 (strict),
+    p ≥ 0 when a < 0, and — the den == 0 floor_div convention — iff
+    b·y + c < 0 when a == 0. ``p ≥ 0`` becomes ``p > −min_normal`` exactly
+    (every float ≥ 0 exceeds −min_normal; every normal float < 0 does not;
+    negative denormals mis-classify, which is the flush-to-zero-level
+    boundary window already accepted for the kernels), and the a == 0 case
+    becomes a strict > 0 test of the sign-flipped row. Rows are
+    non-differentiable (band-clip boundary), like the reference's pixel-set
+    decision.
+
+    Returns (rows (E, 12), thetas (E, 4)).
+    """
+    tiny = float(jnp.finfo(dtype).tiny)
+    neg_tc = jnp.concatenate([-tc[:, 0:2], 1.0 - tc[:, 2:3]], axis=1)
+
+    def one(r3):
+        r3 = jax.lax.stop_gradient(r3)
+        a = r3[:, 0]
+        coeffs = jnp.where((a == 0)[:, None], -r3, r3)
+        theta = jnp.where(a < 0, -tiny, 0.0).astype(dtype)
+        return coeffs, theta
+
+    pairs = [one(r) for r in (b0c, b1c, tc, neg_tc)]
+    rows = jnp.concatenate([p[0] for p in pairs], axis=1)
+    thetas = jnp.stack([p[1] for p in pairs], axis=1)
+    return rows, thetas
+
+
 def _edge_stencil_rows(cfg: EdgeAAConfig, edges: EdgeData, height: int):
     """Differentiable per-edge stencil coefficient rows shared by the Pallas
     edge wrappers: (b0c, b1c, tc, y_beg, y_end, zcoef, active).
@@ -1291,10 +1347,11 @@ def edge_pass_tiled_pallas(
     a0 = edges.attrs[:, 0, :]  # (E, C)
     a1 = edges.attrs[:, 1, :]
     acoef = b0c[:, None, :] * a0[:, :, None] + b1c[:, None, :] * a1[:, :, None]  # (E, C, 3)
+    i14, th14 = _transform_ineq_rows(b0c, b1c, tc, dtype)
     rows = jnp.concatenate(
         [
-            jax.lax.stop_gradient(b0c),
-            jax.lax.stop_gradient(b1c),
+            i14,
+            th14,
             tc,
             y_beg[:, None],
             y_end[:, None],
@@ -1463,10 +1520,11 @@ def edge_pass_tiled_pallas_tex(
     vcoef = b0c * edges.uvs[:, 0, 1:2] + b1c * edges.uvs[:, 1, 1:2]
     lcoef = b0c * edges.shades[:, 0:1] + b1c * edges.shades[:, 1:2]
     eid = jnp.arange(e_n, dtype=dtype)[:, None]
+    i14, th14 = _transform_ineq_rows(b0c, b1c, tc, dtype)
     rows = jnp.concatenate(
         [
-            jax.lax.stop_gradient(b0c),
-            jax.lax.stop_gradient(b1c),
+            i14,
+            th14,
             tc,
             y_beg[:, None],
             y_end[:, None],
