@@ -229,20 +229,19 @@ def _footprint_table_fwd(tf, tw):
 
 
 def _footprint_table_bwd(tw, res, ct):
-    # four sel-matmuls + row-rolls. A single 2x2 conv formulation (one read
-    # of the cotangent instead of four) was tried and REGRESSED the duck
-    # 11.4 -> 12.4 ms — the in-loop conv emitter loses to these fused
-    # matmul+roll terms despite the extra reads; see PERFORMANCE.md
-    # "in-loop emitter gap".
+    # one (N, 4, C) -> (4, N, C) transpose, then free leading-dim slices +
+    # row-rolls. The tap split must NOT be lane-strided slices of (N, 4C)
+    # (each (N, k<128) slice strides the padded T(8,128) lanes: ~2 ms/iter
+    # on a 512^2 atlas); the previous fix — 4 one-hot (4C, C) sel-matmuls on
+    # the MXU — cost ~0.74 ms/iter on the duck, while this single dense
+    # transpose is memory-bound. A 2x2 conv formulation was also tried and
+    # REGRESSED (11.4 -> 12.4 ms); see PERFORMANCE.md "in-loop emitter gap".
     del res
     n, c = ct.shape[0], ct.shape[1] // 4
-    eye = jnp.eye(c, dtype=ct.dtype)
-    hi = jax.lax.Precision.HIGHEST
-    g = jnp.zeros((n, c), ct.dtype)
-    for k, shift in enumerate((0, 1, tw, tw + 1)):
-        sel = jnp.zeros((4 * c, c), ct.dtype).at[k * c : (k + 1) * c, :].set(eye)
-        term = jnp.dot(ct, sel, preferred_element_type=ct.dtype, precision=hi)
-        g = g + (term if shift == 0 else jnp.roll(term, shift, 0))
+    ct4 = jnp.moveaxis(ct.reshape(n, 4, c), 1, 0)  # (4, N, C)
+    g = ct4[0]
+    for k, shift in enumerate((1, tw, tw + 1)):
+        g = g + jnp.roll(ct4[k + 1], shift, 0)
     return (g,)
 
 
@@ -282,7 +281,27 @@ def bilinear_sample(texture: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     c = texture.shape[2]
     tf = texture.reshape(-1, c)
     foot = _footprint_table(tf, tw)  # (th·tw, 4C)
-    taps = foot[iv * tw + iu]  # (..., 4C)
+    import os
+
+    if (
+        foot.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("DEODR_NO_TEX_FUSE_HINT")
+    ):
+        # TPU-only: the XLA:TPU pipeline folds the pair (verified bitwise);
+        # XLA:CPU does NOT and would genuinely quantize texels to bf16.
+        # Fusion hint, NOT a precision change: XLA's simplifier folds this
+        # f32→bf16→f32 convert pair away (outputs are bitwise identical —
+        # verified on the duck image and texture gradients), but the pair
+        # changes the fusion boundaries around the footprint gather, which
+        # flips the in-loop gather from its ~11.6 cycles/row slow form to
+        # the ~2 cycles/row fast form PERFORMANCE.md's "in-loop emitter
+        # gap" section could never trigger deliberately: duck 10.6 →
+        # 9.5 ms/iter, footprint gather 1.25 ms → 0.22 ms. Found while
+        # testing a genuine bf16 table (whose quantization the fold
+        # removes). DEODR_NO_TEX_FUSE_HINT=1 restores the plain graph.
+        foot = foot.astype(jnp.bfloat16)
+    taps = foot[iv * tw + iu].astype(texture.dtype)  # (..., 4C)
     t00 = taps[..., 0 * c : 1 * c]
     t10 = taps[..., 1 * c : 2 * c]
     t01 = taps[..., 2 * c : 3 * c]

@@ -102,6 +102,39 @@ def test_hier_render_matches_dense_pallas():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_planner_auto_supertiles_match_dense():
+    """At a scale where the production PLANNER auto-enables two-level
+    binning (n_tiles × faces > 2^22 — deodr_tpu/scene.py), the supertile
+    render must equal the identical plan with supertiles disabled. The
+    small-scale tests above hand-pick supertile configs; this one goes
+    through Scene3D's own plan at a forced-supertile scale."""
+    from deodr_tpu import default_camera
+    from deodr_tpu.geometry.primitives import octahedron_mesh
+    from deodr_tpu.ops.render import render_scene
+    from deodr_tpu.scene import Scene3D
+
+    mesh = octahedron_mesh(5)  # 8192 faces
+    rot = np.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]])
+    camera = default_camera(640, 512, 60, np.asarray(mesh.vertices), rot)
+    scene = Scene3D(sigma=0.0)
+    scene.set_mesh(mesh)
+    scene.set_light(np.array([-0.4, -0.4, -0.8]), 0.4)
+    scene.set_background_color(np.array([0.2, 0.3, 0.5]))
+    cap, tiling, aa_window, aa_tex_window, aa_tex_plan = scene._eager_plan(camera)
+    assert tiling is not None and tiling.super_capacity > 0, (
+        f"planner should have auto-enabled supertiles at this scale: {tiling}"
+    )
+    buffers, _ = scene._build_buffers(camera, *scene._diff_inputs(False), True, None)
+    img_hier, _, _ = jax.jit(
+        lambda b: render_scene(b, 0.0, tiling=tiling, impl="xla")
+    )(buffers)
+    dense = tiling._replace(super_ty=0, super_tx=0, super_capacity=0)
+    img_dense, _, _ = jax.jit(
+        lambda b: render_scene(b, 0.0, tiling=dense, impl="xla")
+    )(buffers)
+    np.testing.assert_array_equal(np.asarray(img_hier), np.asarray(img_dense))
+
+
 def test_supertile_overflow_is_loud():
     import pytest
     from deodr_tpu.ops.render import render_scene_checked
