@@ -94,7 +94,11 @@ def main():
         width,
         sigma=1.0,
         edgeflags=np.ones((scene.faces.shape[0], 3), bool),
-        tile_h=32,
+        # 48-row tiles (6 sublane groups) measured fastest for BOTH sigmas
+        # after the round-4 kernel work (s1: 459 vs 443 at 32 rows; s0:
+        # 1307 vs 1266) — the threshold-form band clips shrank per-slot
+        # vector work, moving the visit-count vs tile-area balance upward
+        tile_h=48,
         margin=1.0,
         for_pallas=True,
         bucket_mode="exact",
@@ -158,6 +162,17 @@ def main():
     except Exception as e:  # pragma: no cover - keep the primary metric alive
         print(f"duck bench skipped: {e!r}", file=sys.stderr)
 
+    # shard_map + Mosaic on the REAL chip (1-device mesh): the multi-chip
+    # scale-out path's kernels compiling and running on hardware is a fact,
+    # not a prediction — recorded so regressions in the sharded lowering
+    # are caught by the driver (scaling_model.py holds the full comm model)
+    shardmap_ms = None
+    try:
+        shardmap_ms = measure_shardmap_1dev(scene, tiling)
+        print(f"shard_map+Mosaic fwd+bwd, 1-device mesh: {shardmap_ms:.2f} ms/iter", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"shard_map bench skipped: {e!r}", file=sys.stderr)
+
     record = {
         "metric": "fwd+bwd render throughput, 512x512, 200 tris, sigma=0, grads wrt ij+colors"
         f" (sigma=1: {round(mpix_s1, 1)} Mpix/s, {round(mpix_s1 / BASELINE_FWDBWD_MPIX_S_SIGMA1, 2)}x C)",
@@ -168,7 +183,52 @@ def main():
     if duck_ms is not None:
         record["duck_sigma1_ms"] = round(duck_ms, 2)
         record["duck_ref_cpp_ms"] = 12.6
+    if shardmap_ms is not None:
+        record["shardmap_pallas_1dev_ms"] = round(shardmap_ms, 2)
     print(json.dumps(record))
+
+
+def measure_shardmap_1dev(scene, tiling, iters: int = 20) -> float:
+    """sigma=1 fwd+bwd through make_tile_sharded_render (shard_map) with the
+    Pallas kernels, on a 1-device mesh of the real chip."""
+    import dataclasses as _dc
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from deodr_tpu.parallel.sharding import make_device_mesh, make_tile_sharded_render
+
+    mesh = make_device_mesh(n_views=1, n_tiles=1, devices=jax.devices()[:1])
+    render = make_tile_sharded_render(
+        scene, 1.0, mesh, aa_edge_capacity=600, tiling=tiling, impl="pallas"
+    )
+
+    def loss(ij, colors):
+        img, _ = render(_dc.replace(scene, ij=ij, colors=colors))
+        return jnp.sum(img**2)
+
+    vg = jax.value_and_grad(loss, argnums=(0, 1))
+
+    @jax.jit
+    def chained(ij, colors):
+        def step(carry, _):
+            ij, colors = carry
+            _, (gij, gc) = vg(ij, colors)
+            return (ij - 1e-9 * gij, colors - 1e-9 * gc), None
+
+        (ij, colors), _ = jax.lax.scan(step, (ij, colors), None, length=iters)
+        return ij, colors
+
+    out = chained(scene.ij, scene.colors)
+    jax.block_until_ready(out)
+    best = None
+    for _ in range(3):
+        t0 = _time.time()
+        jax.block_until_ready(chained(scene.ij, scene.colors))
+        dt = (_time.time() - t0) / iters * 1e3
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def measure_duck(iters: int = 20) -> float:

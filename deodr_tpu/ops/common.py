@@ -28,6 +28,10 @@ def gather_rows_mm(x, idx):
     cost). Forward is a plain gather. HIGHEST precision keeps the f32
     cotangents exact (default TPU dot precision would round them to bf16).
     """
+    # NOTE: the convert-pair fusion hint that speeds bilinear_sample's
+    # footprint gather was tried here too and is NOT folded in this
+    # context (table values genuinely quantize to bf16 — bench image
+    # changed by 2.4) with no speed gain; do not reapply.
     return x[idx]
 
 
