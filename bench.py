@@ -131,13 +131,18 @@ def main():
         jax.block_until_ready(out)
         # best-of-3: the tunnel between host and TPU adds multi-ms
         # per-dispatch latency with high variance; the best rep is closest
-        # to the device throughput a local deployment sees
+        # to the device throughput a local deployment sees. Each rep feeds
+        # the previous rep's updated params back in: the runtime memoizes
+        # IDENTICAL repeated dispatches (measured 0.03 ms for a ~100 ms
+        # workload in tools/size_sweep.py before the same fix)
+        ij_r, colors_r = out[0], out[1]
         best = None
         for _ in range(3):
             t0 = time.time()
-            out = run(scene.ij, scene.colors)
+            out = run(ij_r, colors_r)
             jax.block_until_ready(out)
             dt = (time.time() - t0) / chain
+            ij_r, colors_r = out[0], out[1]
             best = dt if best is None else min(best, dt)
         return height * width / best / 1e6
 
@@ -225,7 +230,8 @@ def measure_shardmap_1dev(scene, tiling, iters: int = 20) -> float:
     best = None
     for _ in range(3):
         t0 = _time.time()
-        jax.block_until_ready(chained(scene.ij, scene.colors))
+        out = chained(*out)  # feed back: identical dispatches memoize
+        jax.block_until_ready(out)
         dt = (_time.time() - t0) / iters * 1e3
         best = dt if best is None else min(best, dt)
     return best
@@ -278,11 +284,13 @@ def measure_duck(iters: int = 20) -> float:
         return jax.lax.scan(lambda p, _: one_step(p), params, None, length=iters)
 
     params0 = (buffers.ij, buffers.uv, buffers.shade, buffers.texture)
-    jax.block_until_ready(chained(params0))
+    params, _ = chained(params0)
+    jax.block_until_ready(params)
     best = None
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(chained(params0))
+        params, _ = chained(params)  # feed back: identical dispatches memoize
+        jax.block_until_ready(params)
         dt = (time.time() - t0) / iters * 1e3
         best = dt if best is None else min(best, dt)
     return best

@@ -238,6 +238,11 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
     count = jnp.minimum(count_ref[0, tile_id], cap)
 
+    def put_partials(k, q, g):
+        # quantity order [t | a_0..a_{C-1} | u | v | lum]; pair rows (2q, 2q+1)
+        scratch_ref[k, 2 * q, :] = jnp.sum(g, axis=0)
+        scratch_ref[k, 2 * q + 1, :] = jnp.sum(g * yrow, axis=0)
+
     # the per-edge window-gradient accumulator spans the whole (sequential)
     # tile grid: zero it once on the first tile
     @pl.when(tile_id == 0)
@@ -331,19 +336,12 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
             # rows are NOT zeroed here: they hold stale values from other
             # slots/tiles, and the XLA wrapper masks each slot's gradient
             # columns by its use_texture flag.
-            base = 3 + 3 * c
-            scratch_ref[k, base + 0, :] = jnp.sum(gu * xx, axis=0)
-            scratch_ref[k, base + 1, :] = jnp.sum(gu * yrow, axis=0)
-            scratch_ref[k, base + 2, :] = jnp.sum(gu, axis=0)
-            scratch_ref[k, base + 3, :] = jnp.sum(gv * xx, axis=0)
-            scratch_ref[k, base + 4, :] = jnp.sum(gv * yrow, axis=0)
-            scratch_ref[k, base + 5, :] = jnp.sum(gv, axis=0)
-            scratch_ref[k, base + 6, :] = jnp.sum(g_lum * xx, axis=0)
-            scratch_ref[k, base + 7, :] = jnp.sum(g_lum * yrow, axis=0)
-            scratch_ref[k, base + 8, :] = jnp.sum(g_lum, axis=0)
-            scratch_ref[k, 0, :] = jnp.sum(g_t * xx, axis=0)
-            scratch_ref[k, 1, :] = jnp.sum(g_t * yrow, axis=0)
-            scratch_ref[k, 2, :] = jnp.sum(g_t, axis=0)
+            # TWO lane partials per quantity (sum g, sum g*y); the x-moment
+            # is recovered after the loop (x constant along sublanes)
+            put_partials(k, 0, g_t)
+            put_partials(k, 1 + c, gu)
+            put_partials(k, 2 + c, gv)
+            put_partials(k, 3 + c, g_lum)
             return new_bufs, new_gbufs
 
         def plain_bwd(carry):
@@ -364,9 +362,7 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
                 g_err = g_masked * one_minus_t
                 for ch in range(c):
                     g_a = g_err * 2.0 * (a[ch] - obs_ref[ch, :, :])
-                    scratch_ref[k, 3 + 3 * ch, :] = jnp.sum(g_a * xx, axis=0)
-                    scratch_ref[k, 4 + 3 * ch, :] = jnp.sum(g_a * yrow, axis=0)
-                    scratch_ref[k, 5 + 3 * ch, :] = jnp.sum(g_a, axis=0)
+                    put_partials(k, 1 + ch, g_a)
                 new_bufs = (before0,)
                 new_gbufs = (jnp.where(mask, t * g_out, g_out),)
             else:
@@ -379,17 +375,13 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
                     g_masked = jnp.where(mask, g_out, 0.0)
                     g_t = g_t + g_masked * (before - a_ch)
                     g_a = g_masked * one_minus_t
-                    scratch_ref[k, 3 + 3 * ch, :] = jnp.sum(g_a * xx, axis=0)
-                    scratch_ref[k, 4 + 3 * ch, :] = jnp.sum(g_a * yrow, axis=0)
-                    scratch_ref[k, 5 + 3 * ch, :] = jnp.sum(g_a, axis=0)
+                    put_partials(k, 1 + ch, g_a)
                     new_bufs.append(before)
                     new_gbufs.append(jnp.where(mask, t * g_out, g_out))
                 new_bufs = tuple(new_bufs)
                 new_gbufs = tuple(new_gbufs)
             # uv/lum rows left stale (masked by ~use_texture in the wrapper)
-            scratch_ref[k, 0, :] = jnp.sum(g_t * xx, axis=0)
-            scratch_ref[k, 1, :] = jnp.sum(g_t * yrow, axis=0)
-            scratch_ref[k, 2, :] = jnp.sum(g_t, axis=0)
+            put_partials(k, 0, g_t)
             return new_bufs, new_gbufs
 
         return jax.lax.cond(use_tex, tex_bwd, plain_bwd, (bufs, gbufs))
@@ -399,7 +391,17 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
     bufs, gbufs = jax.lax.fori_loop(0, count, body, (bufs, gbufs))
     for ch in range(nch):
         gbuf0_ref[ch, :, :] = gbufs[ch]
-    gtable_ref[0, :, :] = jnp.sum(scratch_ref[:, :, :], axis=-1)
+    # finish the deferred lane reductions: quantity q yields gradient-row
+    # columns [sum g*x | sum g*y | sum g] from its two stored partials
+    x_lane = (tx * tw + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)).astype(dtype)
+    cols = []
+    for q in range(4 + c):
+        s1 = scratch_ref[:, 2 * q, :]
+        s2 = scratch_ref[:, 2 * q + 1, :]
+        cols.append(jnp.sum(s1 * x_lane, axis=-1, keepdims=True))
+        cols.append(jnp.sum(s2, axis=-1, keepdims=True))
+        cols.append(jnp.sum(s1, axis=-1, keepdims=True))
+    gtable_ref[0, :, :] = jnp.concatenate(cols, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -482,7 +484,7 @@ def _tex_bwd(cfg, residuals, g_out):
             out_struct(final.shape, dtype),
             out_struct(windows.shape, dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((cap, gw, tw), dtype)],
+        scratch_shapes=[pltpu.VMEM((cap, 2 * (4 + c), tw), dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=cfg.interpret,
     )(counts, table_tile, windows, z_buffer, obs, final, g_out)

@@ -78,10 +78,16 @@ def run_config(level: int, res: int, sigma: float, iters: int) -> dict:
     out = chained(params0)
     jax.block_until_ready(out)
     reps = 3
+    # feed each rep's UPDATED params into the next: the runtime memoizes
+    # identical repeated dispatches (a constant-input rep loop measured
+    # 0.03 ms/iter for a ~100 ms workload) — every timed dispatch must
+    # differ from the previous one
+    params = out[0]
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = chained(params0)
-        jax.block_until_ready(out)
+        out = chained(params)
+        params = out[0]
+    jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / (reps * iters) * 1e3
 
     mem = {}
