@@ -335,10 +335,29 @@ class _FitterRenderCore:
                 fn = make_fn(cap, tiling, check_capacity=True)
                 return jax.jit(checkify.checkify(fn))
 
-            fn_c = self.cached_raw(
-                (key_prefix, "checked", cap, tiling) + tuple(extra_key), make_checked
+            # cache key holds only the STRUCTURAL plan parts (tile layout);
+            # capacities are dynamic args, so hysteresis flips between
+            # bucketed capacities never recompile the validator
+            struct = (
+                (tiling.tile_h, tiling.tile_w, tiling.edge_tile_h, tiling.super_ty, tiling.super_tx)
+                if tiling is not None
+                else None
             )
-            err, _ = fn_c(*args)
+            fn_c = self.cached_raw(
+                (key_prefix, "checked", struct, cap is not None) + tuple(extra_key), make_checked
+            )
+            big = 1 << 30
+            caps_vec = jnp.asarray(
+                [
+                    cap if cap is not None else big,
+                    tiling.triangle_capacity if tiling else big,
+                    tiling.edge_capacity if tiling else big,
+                    (tiling.super_capacity or big) if tiling else big,
+                    (tiling.drawn_capacity or big) if tiling else big,
+                ],
+                jnp.int32,
+            )
+            err, _ = fn_c(*args, caps_vec)
             msg = err.get()
             if msg is not None:
                 import warnings
@@ -449,7 +468,7 @@ class MeshDepthFitter:
         obs = jnp.asarray(self.mesh_image)
         background_color = jnp.asarray(self.background_color)
 
-        def energy(vertices, quaternion, translation):
+        def energy(vertices, quaternion, translation, caps=None):
             q_n = normalize(quaternion)
             vt = qrot(q_n, vertices) + translation
             points_2d, depths = camera.project_points(vt)
@@ -481,9 +500,25 @@ class MeshDepthFitter:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
+            if check_capacity:
+                # binning-only capacity validation with DYNAMIC capacities:
+                # checkify cannot trace through pallas_call (jax 0.9
+                # KeyError), a full checked XLA render costs ~1.5 s/firing,
+                # and capacity-keyed jits recompile on every hysteresis
+                # flip — this validator compiles once per tile layout and
+                # runs in ~ms (see ops.render.validate_capacities)
+                from deodr_tpu.ops.render import validate_capacities
+
+                t = tiling
+                return validate_capacities(
+                    buffers, sigma, caps,
+                    t.tile_h if t else camera.height,
+                    t.tile_w if t else camera.width,
+                    t.edge_tile_h if t else 0,
+                    (t.super_ty, t.super_tx) if t else (0, 0),
+                )
             image, _, _ = render_scene(
                 buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None,
-                check_capacity=check_capacity,
             )
             depth_clipped = jnp.clip(image, 0, max_depth)
             diff_image = jnp.sum((depth_clipped - obs[:, :, None]) ** 2, axis=2)
@@ -493,6 +528,8 @@ class MeshDepthFitter:
 
     def _make_energy(self, cap, tiling, check_capacity=False):
         energy = self._make_data_energy(cap, tiling, check_capacity=check_capacity)
+        if check_capacity:
+            return energy  # f(vertices, q, t, caps) -> 0 under checkify
         rigid = self.rigid_energy
 
         def energy_and_grads(vertices, quaternion, translation):
@@ -725,7 +762,7 @@ class MeshRGBFitterWithPose:
         background_color = jnp.asarray(self.background_color)
         adj = mesh.adjacencies
 
-        def energy(vertices, quaternion, translation, mesh_color, light_directional, light_ambient):
+        def energy(vertices, quaternion, translation, mesh_color, light_directional, light_ambient, caps=None):
             q_n = normalize(quaternion)
             vt = qrot(q_n, vertices) + translation
             points_2d, depths = camera.project_points(vt)
@@ -761,13 +798,26 @@ class MeshRGBFitterWithPose:
                 perspective_correct=False,
                 integer_pixel_centers=True,
             )
+            if check_capacity:
+                # binning-only dynamic-caps validation — see MeshDepthFitter
+                from deodr_tpu.ops.render import validate_capacities
+
+                t = tiling
+                return validate_capacities(
+                    buffers, sigma, caps,
+                    t.tile_h if t else camera.height,
+                    t.tile_w if t else camera.width,
+                    t.edge_tile_h if t else 0,
+                    (t.super_ty, t.super_tx) if t else (0, 0),
+                )
             image, _, _ = render_scene(
                 buffers, sigma, aa_edge_capacity=cap, tiling=tiling, impl=None,
-                check_capacity=check_capacity,
             )
             diff_image = jnp.sum((image - obs) ** 2, axis=2)
             return jnp.sum(diff_image), (image, diff_image)
 
+        if check_capacity:
+            return energy  # f(*params, caps) -> 0 under checkify
         rigid = self.rigid_energy
 
         def energy_and_grads(*params):

@@ -316,6 +316,120 @@ def render_scene(
     return image, z_buffer, err_buffer
 
 
+def validate_capacities(scene: SceneBuffers, sigma: float, caps, tile_h: int, tile_w: int,
+                        edge_tile_h: int = 0, super_shape=(0, 0)):
+    """Binning-only re-computation of the bin/compaction COUNTS of an
+    UNTEXTURED render, asserted via ``checkify.check`` — no per-pixel work,
+    and every capacity is a DYNAMIC scalar so ONE compilation serves every
+    plan the fitter's hysteresis produces.
+
+    ``caps`` is a (5,) int32 vector of the capacities to check:
+    [aa edge compaction | solid tile bin | edge tile bin | supertile bin |
+    drawn compaction]; pass a huge value (e.g. 2**30) to skip a class.
+    Only ``tile_h``/``tile_w``/``edge_tile_h``/``super_shape`` (grid
+    layouts) are static.
+
+    The counts are capacity-independent histograms — per-tile bbox-overlap
+    counts via the 2-D difference trick (identical to the dense binner's
+    mask sums), band-vs-tile SAT mask sums, and plain drawn/active sums —
+    so they are EXACTLY the counts the renderer's bins see, except the
+    edge-tile count which is checked WITHOUT occlusion culling: an upper
+    bound on the rendered count, and the same bound the planner sizes
+    ``edge_capacity`` from, so it fires exactly when the plan's sizing
+    assumption broke. A full ``render_scene(check_capacity=True)`` pass on
+    the XLA path costs ~1.5 s per firing on the hand scenes; this is ~ms.
+    Texture-path capacities (tile compaction, uv segments, quad fallback)
+    are not covered; textured callers should use
+    ``render_scene(..., check_capacity=True)``.
+
+    Must run under ``checkify.checkify``; returns a scalar 0 so it can
+    stand in for an energy function's output.
+    """
+    from jax.experimental import checkify
+
+    from deodr_tpu.ops.tiled import _edge_band_tile_mask
+    from deodr_tpu.ops.raster import triangle_row_setup
+
+    caps = jnp.asarray(caps)
+    offset = 0.0 if scene.integer_pixel_centers else 0.5
+    ij_off = scene.ij - offset
+    height, width = scene.height, scene.width
+    signed_area_v = _culling(scene)
+    draw = signed_area_v > 0
+    if not scene.backface_culling:
+        draw = jnp.ones_like(draw)
+    draw = draw & (~scene.textured | scene.shaded)
+
+    def tile_histogram_max(x_lo, x_hi, y_lo, y_hi, valid, th, tw):
+        """max over tiles of the bbox-overlap count (== dense bin counts)."""
+        n_ty = -(-height // th)
+        n_tx = -(-width // tw)
+        ok = valid & (x_lo <= x_hi) & (y_lo <= y_hi)
+        ix0 = jnp.clip(jnp.floor_divide(x_lo.astype(jnp.int32), tw), 0, n_tx - 1)
+        ix1 = jnp.clip(jnp.floor_divide(x_hi.astype(jnp.int32), tw), 0, n_tx - 1)
+        iy0 = jnp.clip(jnp.floor_divide(y_lo.astype(jnp.int32), th), 0, n_ty - 1)
+        iy1 = jnp.clip(jnp.floor_divide(y_hi.astype(jnp.int32), th), 0, n_ty - 1)
+        one = ok.astype(jnp.float32)
+        delta = jnp.zeros((n_ty + 1, n_tx + 1))
+        delta = delta.at[iy0, ix0].add(one)
+        delta = delta.at[iy1 + 1, ix0].add(-one)
+        delta = delta.at[iy0, ix1 + 1].add(-one)
+        delta = delta.at[iy1 + 1, ix1 + 1].add(one)
+        counts = jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
+        return jnp.max(counts).astype(jnp.int32)
+
+    setup = triangle_row_setup(
+        jax.lax.stop_gradient(ij_off[scene.faces]),
+        jax.lax.stop_gradient(scene.depths[scene.faces]),
+        draw, width, height, scene.strict_edge, scene.perspective_correct,
+    )
+    x_lo, x_hi = setup.x_lo, setup.x_hi
+    y_lo, y_hi = setup.y_lo[:, 0], setup.y_hi[:, 1]
+
+    active_edges = scene.edgeflags & (signed_area_v > 0)[:, None]
+    aa_count = jnp.sum(active_edges).astype(jnp.int32)
+    solid_max = tile_histogram_max(x_lo, x_hi, y_lo, y_hi, setup.valid, tile_h, tile_w)
+    super_max = jnp.zeros((), jnp.int32)
+    s_ty, s_tx = super_shape
+    if s_ty and s_tx:
+        super_max = tile_histogram_max(
+            x_lo, x_hi, y_lo, y_hi, setup.valid, tile_h * s_ty, tile_w * s_tx
+        )
+    edge_max = jnp.zeros((), jnp.int32)
+    if sigma > 0:
+        th_e = edge_tile_h or tile_h
+        n_tye = -(-height // th_e)
+        n_tx = -(-width // tile_w)
+        # endpoint pairs per the reference's (1,0),(2,1),(0,2) slots
+        sub0 = scene.faces[:, [1, 2, 0]].reshape(-1)
+        sub1 = scene.faces[:, [0, 1, 2]].reshape(-1)
+        v0 = jax.lax.stop_gradient(ij_off[sub0])
+        v1 = jax.lax.stop_gradient(ij_off[sub1])
+        mask = _edge_band_tile_mask(
+            v0, v1, float(sigma), active_edges.reshape(-1), n_tye, n_tx, th_e,
+            tile_w, height, width,
+        )
+        edge_max = jnp.max(jnp.sum(mask, axis=1)).astype(jnp.int32)
+
+    drawn = jnp.sum(draw).astype(jnp.int32)
+    for label, count, cap_i in (
+        ("AA edge compaction", aa_count, 0),
+        ("solid tile bin", solid_max, 1),
+        ("edge tile bin", edge_max, 2),
+        ("supertile bin", super_max, 3),
+        ("drawn-triangle compaction", drawn, 4),
+    ):
+        checkify.check(
+            count <= caps[cap_i],
+            label + " overflow: occupancy {c} exceeds static capacity {k}; "
+            "entries were dropped — raise the capacity in TilingConfig / "
+            "the plan (see suggest_tiling)",
+            c=count,
+            k=caps[cap_i],
+        )
+    return jnp.zeros(())
+
+
 def render_scene_checked(scene: SceneBuffers, sigma: float, **kwargs):
     """:func:`render_scene` with loud bin-capacity validation.
 

@@ -26,10 +26,13 @@ def _f32_scene(n_tri=15, width=128, height=128, textured_ratio=0.5):
     )
 
 
-@pytest.mark.parametrize("sigma", [0.0, 1.0])
-def test_pallas_matches_xla(sigma):
+@pytest.mark.parametrize(
+    "sigma,tile_h",
+    [(0.0, 64), (1.0, 64), (1.0, 48)],  # 48 = bench.py's production tile height
+)
+def test_pallas_matches_xla(sigma, tile_h):
     base = _f32_scene(textured_ratio=0.0)
-    tiling = TilingConfig(64, 128, 24, 48, edge_split=3)
+    tiling = TilingConfig(tile_h, 128, 24, 48, edge_split=3)
     obs = jnp.asarray(np.random.RandomState(0).rand(128, 128, 3), jnp.float32)
 
     def run(impl, interp):
