@@ -310,15 +310,17 @@ def main_large():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from size_sweep import run_config
 
-    records = [
-        run_config(5, 1024, 1.0, iters=5),   # 8k faces, dense binning
-        run_config(7, 2048, 1.0, iters=5),   # 131k faces, supertile binning
-        run_config(7, 2048, 0.0, iters=5),
-    ]
-    out = {"platform": jax.devices()[0].platform, "configs": records}
+    # write after EVERY config: first-time compiles of the 131k-face
+    # programs take minutes each, so a caller's timeout may land mid-run —
+    # the artifact then still holds the finished configs, and a re-run
+    # (with the persistent compile cache warm) completes the rest
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "LARGE_r04.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    records = []
+    for cfg in ((5, 1024, 1.0), (7, 2048, 1.0), (7, 2048, 0.0)):
+        records.append(run_config(*cfg, iters=5))
+        out = {"platform": jax.devices()[0].platform, "configs": records}
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 
