@@ -241,6 +241,9 @@ def _footprint_table_bwd(tw, res, ct):
     # transpose is memory-bound. A 2x2 conv formulation was also tried and
     # REGRESSED (11.4 -> 12.4 ms); see PERFORMANCE.md "in-loop emitter gap".
     del res
+    # a convert-pair hint on this cotangent (after the scatter-add) folds
+    # like the forward one but does NOT speed the scatter (duck 9.6 vs 9.5)
+    # — the flip only triggers on the gather side; not applied.
     n, c = ct.shape[0], ct.shape[1] // 4
     ct4 = jnp.moveaxis(ct.reshape(n, 4, c), 1, 0)  # (4, N, C)
     g = ct4[0]
