@@ -310,14 +310,24 @@ def main_large():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from size_sweep import run_config
 
-    # write after EVERY config: first-time compiles of the 131k-face
-    # programs take minutes each, so a caller's timeout may land mid-run —
-    # the artifact then still holds the finished configs, and a re-run
-    # (with the persistent compile cache warm) completes the rest
+    # resume semantics: first-time compiles/plans of the 131k-face configs
+    # take minutes each, so a caller's timeout may land mid-run — configs
+    # already recorded in the artifact are kept and skipped, each finished
+    # config is flushed immediately, and a re-run completes the rest
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "LARGE_r04.json")
+    faces_of = {5: 8192, 7: 131072}
     records = []
-    for cfg in ((5, 1024, 1.0), (7, 2048, 1.0), (7, 2048, 0.0)):
-        records.append(run_config(*cfg, iters=5))
+    if os.path.exists(path):
+        try:
+            records = json.load(open(path)).get("configs", [])
+        except Exception:
+            records = []
+    done = {(r["faces"], r["res"], r["sigma"]) for r in records}
+    out = {"platform": jax.devices()[0].platform, "configs": records}
+    for level, res, sigma in ((5, 1024, 1.0), (7, 2048, 1.0), (7, 2048, 0.0)):
+        if (faces_of[level], res, sigma) in done:
+            continue
+        records.append(run_config(level, res, sigma, iters=5))
         out = {"platform": jax.devices()[0].platform, "configs": records}
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
