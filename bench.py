@@ -87,6 +87,10 @@ def main():
     height = width = 512
     scene = build_scene(height, width)
     obs = jnp.zeros((height, width, 3), jnp.float32)
+    # tile height comes from the planner's own auto-pick (48-row tiles for
+    # big-triangle scenes — the measured sweet spot, see suggest_tiling /
+    # Scene3D._eager_plan), NOT a hand pin: the headline number must be
+    # reachable through the production planning path
     tiling = suggest_tiling(
         np.asarray(scene.ij),
         np.asarray(scene.faces),
@@ -94,15 +98,11 @@ def main():
         width,
         sigma=1.0,
         edgeflags=np.ones((scene.faces.shape[0], 3), bool),
-        # 48-row tiles (6 sublane groups) measured fastest for BOTH sigmas
-        # after the round-4 kernel work (s1: 459 vs 443 at 32 rows; s0:
-        # 1307 vs 1266) — the threshold-form band clips shrank per-slot
-        # vector work, moving the visit-count vs tile-area balance upward
-        tile_h=48,
         margin=1.0,
         for_pallas=True,
         bucket_mode="exact",
     )
+    assert tiling.tile_h == 48, f"planner auto-pick changed: {tiling}"
     def measure(sigma, chain=400):
         def loss(ij, colors):
             b = dataclasses.replace(scene, ij=ij, colors=colors)
@@ -188,6 +188,16 @@ def main():
     if duck_ms is not None:
         record["duck_sigma1_ms"] = round(duck_ms, 2)
         record["duck_ref_cpp_ms"] = 12.6
+    # texture fuse-hint bitwise fold probe (ops/common.py::_probe_fuse_hint):
+    # False means XLA stopped folding the f32->bf16->f32 pair — the hint was
+    # auto-disabled (loud warning) instead of quantizing texels, and the
+    # duck number above was measured WITHOUT it
+    try:
+        from deodr_tpu.ops.common import _probe_fuse_hint
+
+        record["tex_fuse_hint_ok"] = bool(_probe_fuse_hint())
+    except Exception:  # pragma: no cover
+        pass
     if shardmap_ms is not None:
         record["shardmap_pallas_1dev_ms"] = round(shardmap_ms, 2)
     print(json.dumps(record))

@@ -80,7 +80,7 @@ class _FitterRenderCore:
             b"" if camera.distortion is None else np.asarray(camera.distortion).tobytes(),
             camera.height, camera.width, want_tiling, for_pallas,
         )
-        return want_tiling, for_pallas, (128 if for_pallas else 64), (8, 16, 32, 64), key
+        return want_tiling, for_pallas, (128 if for_pallas else 64), (8, 16, 32, 48, 64), key
 
     def plan_guess(self, camera: Camera):
         """Last accepted plan for this camera (None before the first step).
@@ -102,7 +102,8 @@ class _FitterRenderCore:
             k = cands.index(tiling.tile_h)
             if int(stats[2 + 2 * k]) > tiling.triangle_capacity:
                 return False
-            if self.sigma > 0 and int(stats[3 + 2 * k]) > tiling.edge_capacity:
+            ek = cands.index(tiling.edge_tile_h) if tiling.edge_tile_h else k
+            if self.sigma > 0 and int(stats[3 + 2 * ek]) > tiling.edge_capacity:
                 return False
         return True
 
@@ -153,6 +154,7 @@ class _FitterRenderCore:
                         i1 = faces[:, [0, 1, 2]].reshape(-1)
                         p0 = pts[i0] * flat[:, None]
                         p1 = pts[i1] * flat[:, None]
+                    edge_sums = []
                     for th in tile_h_candidates:
                         n_ty = -(-height // th)
                         n_tx = -(-width // tile_w)
@@ -163,8 +165,14 @@ class _FitterRenderCore:
                                 flat, n_ty, n_tx, th, tile_w, height, width,
                             )
                             stats.append(m.sum(axis=1).max())
+                            edge_sums.append(m.sum())
                         else:
                             stats.append(jnp.zeros(()))
+                            edge_sums.append(jnp.zeros(()))
+                    # trailing (2 + 2n + k): total edge-band tile visits per
+                    # candidate — feeds the edge-tile-height cost scoring
+                    # (see Scene3D._eager_plan)
+                    stats += edge_sums
                 return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
 
             return jax.jit(jax.vmap(f))
@@ -203,11 +211,28 @@ class _FitterRenderCore:
             elif med_h <= 32:
                 tile_h = 16 if for_pallas else 32
             else:
-                tile_h = 64
+                # 48 rows measured fastest for Pallas on big-triangle scenes
+                # (see bench.py / Scene3D._eager_plan)
+                tile_h = 48 if for_pallas else 64
             tile_h = min(tile_h, max(8, height))
             k = tile_h_candidates.index(tile_h)
             tri_cap = int(stats[2 + 2 * k])
-            edge_cap = int(stats[3 + 2 * k]) if sigma > 0 else 8
+            # untextured Pallas edge pass: edge tile height by the measured
+            # visit-cost model (see Scene3D._eager_plan for the calibration)
+            edge_tile_h = 0
+            if for_pallas and sigma > 0 and int(stats[0]) > 0:
+                n_cand = len(tile_h_candidates)
+                F_VISIT, C_PX = 1.63e-4, 1.64e-8
+
+                def edge_cost(th):
+                    s = float(stats[2 + 2 * n_cand + tile_h_candidates.index(th)])
+                    return s * (F_VISIT + th * tile_w * C_PX)
+
+                cand_e = [th for th in tile_h_candidates if th <= 48 and th <= max(8, height)]
+                best_e = min(cand_e, key=edge_cost)
+                edge_tile_h = 0 if best_e == tile_h else best_e
+            ek = tile_h_candidates.index(edge_tile_h) if edge_tile_h else k
+            edge_cap = int(stats[3 + 2 * ek]) if sigma > 0 else 8
 
             def bucket(n, margin=1.5):
                 import math
@@ -235,6 +260,7 @@ class _FitterRenderCore:
                 edge_capacity=bucket(edge_cap),
                 edge_split=1,
                 edge_segment_length=48.0,
+                edge_tile_h=edge_tile_h,
                 super_ty=super_ty,
                 super_tx=super_tx,
                 super_capacity=super_capacity,
@@ -254,6 +280,7 @@ class _FitterRenderCore:
                 and last_tiling is not None
                 and last_tiling.tile_h == tiling.tile_h
                 and last_tiling.tile_w == tiling.tile_w
+                and last_tiling.edge_tile_h == tiling.edge_tile_h
                 and tri_cap <= last_tiling.triangle_capacity <= 4 * tiling.triangle_capacity
                 and edge_cap <= last_tiling.edge_capacity <= 4 * tiling.edge_capacity
                 # explicit super-capacity fit: the tile-sum bound that sized
@@ -996,18 +1023,23 @@ class MeshRGBFitterWithPoseMultiFrame:
                 P("views"),
                 (P(), P("views"), P("views"), P(), P(), P()),
             ),
-            # check_vma must stay OFF here on jax 0.9: with the checker ON
-            # this energy compiles (after ops.common.match_vma stamps the
-            # render's scan carries) but the shard_map GRADIENT rewrite then
-            # produces different parameter gradients — the sharded-vs-
-            # sequential trajectory test diverges from iteration 2
-            # (1469.50 vs 1512.12 on the 4-view octahedron fit) while with
-            # the checker off it matches to 1e-9. The safety net is exactly
-            # that mandatory test
-            # (tests/test_parallel.py::test_multiframe_fitter_view_sharded_
-            # matches_sequential) — keep it green; try re-enabling on a jax
-            # upgrade. The TILE-sharded production path runs with the
-            # checker ON (parallel/sharding.py) and its gradients match.
+            # check_vma must stay OFF here on jax 0.9: with the checker ON,
+            # this energy's shard_map gradients are MISCOMPILED when (and
+            # only when) `jax.config.update("jax_platforms", ...)` has been
+            # used to override the platform — the exact combination the test
+            # environment needs (a sitecustomize imports jax before conftest
+            # can set JAX_PLATFORMS, so conftest must use the config
+            # override). Root-caused in round 5 by one-line bisection: env
+            # JAX_PLATFORMS=cpu → sharded == sequential exactly (checker ON);
+            # adding only jax.config.update("jax_platforms", "cpu") → the
+            # 4-view octahedron fit diverges from iteration 1 (1469.50 vs
+            # 1512.12) with ONLY the cpu backend ever initialized. Repro:
+            # tools/check_vma_repro.py; expiry canary (strict xfail, flips
+            # when a jax upgrade fixes the lowering):
+            # tests/test_parallel.py::test_check_vma_divergence_canary. The
+            # safety net is the mandatory equivalence test below it. The
+            # TILE-sharded production path runs with the checker ON
+            # (parallel/sharding.py) and its gradients match.
             check_vma=False,
         )
         return jax.jit(sm)
@@ -1102,6 +1134,68 @@ class MeshRGBFitterWithPoseMultiFrame:
             return e, aux, grads
 
         return energy_and_grads
+
+    def _make_validator(self, tiling):
+        """Checkified ~ms binning-only capacity validation over every frame
+        (same classes as :func:`deodr_tpu.ops.render.validate_capacities`,
+        the counterpart of ``_FitterRenderCore.planned_step``'s check_every
+        path). Capacities are DYNAMIC args; only the tile layout is baked
+        in, so hysteresis flips between bucketed capacities never
+        recompile."""
+        from jax.experimental import checkify
+
+        from deodr_tpu.ops.render import validate_capacities
+
+        mesh = self.mesh
+        camera = self.camera
+        sigma = self.core.sigma
+        background_color = jnp.asarray(self.background_color)
+
+        def f(vertices, q_all, t_all, caps):
+            def one(args):
+                q, t = args
+                vt = qrot(normalize(q), vertices) + t
+                points_2d, depths = camera.project_points(vt)
+                if sigma > 0:
+                    edgeflags = jax.lax.stop_gradient(mesh.edge_on_silhouette(points_2d))
+                else:
+                    edgeflags = jnp.zeros((mesh.nb_faces, 3), bool)
+                nbv = mesh.nb_vertices
+                dtype = points_2d.dtype
+                buffers = SceneBuffers(
+                    faces=jnp.asarray(mesh.faces),
+                    faces_uv=jnp.asarray(mesh.faces),
+                    ij=points_2d,
+                    depths=depths,
+                    uv=jnp.zeros((nbv, 2), dtype),
+                    shade=jnp.zeros((nbv,), dtype),
+                    colors=jnp.zeros((nbv, 3), dtype),
+                    edgeflags=edgeflags,
+                    textured=jnp.zeros((mesh.nb_faces,), bool),
+                    shaded=jnp.zeros((mesh.nb_faces,), bool),
+                    texture=None,
+                    background_image=None,
+                    background_color=background_color,
+                    height=camera.height,
+                    width=camera.width,
+                    clockwise=mesh.clockwise,
+                    backface_culling=True,
+                    strict_edge=True,
+                    perspective_correct=False,
+                    integer_pixel_centers=True,
+                )
+                t_ = tiling
+                return validate_capacities(
+                    buffers, sigma, caps,
+                    t_.tile_h if t_ else camera.height,
+                    t_.tile_w if t_ else camera.width,
+                    t_.edge_tile_h if t_ else 0,
+                    (t_.super_ty, t_.super_tx) if t_ else (0, 0),
+                )
+
+            return jnp.sum(jax.lax.map(one, (q_all, t_all)))
+
+        return jax.jit(checkify.checkify(f))
 
     def energy_data(self, vertices):
         self.vertices = vertices
@@ -1206,6 +1300,55 @@ class MeshRGBFitterWithPoseMultiFrame:
             scalars, self._e_rigid, self._grad_rigidity = jax.device_get(
                 ((e_frames, per_frame, shared), e_rigid_j, grad_rigidity_j)
             )
+
+        # periodic checkified validation (every core.check_every calls): the
+        # plan_fits bbox statistics above upper-bound the bin classes they
+        # model; this runs the ~ms binning-only validator with checkify
+        # assertions on the ACTUAL counts, catching planner bugs and
+        # unmodeled classes. On overflow: warn, drop the cached plan,
+        # replan from fresh statistics, re-run — never a degraded render
+        # (mirrors _FitterRenderCore.planned_step's check_every path).
+        self._n_energy_calls = getattr(self, "_n_energy_calls", 0) + 1
+        check_every = self.core.check_every
+        if check_every and self._n_energy_calls % check_every == 0:
+            struct = (
+                (tiling.tile_h, tiling.tile_w, tiling.edge_tile_h, tiling.super_ty, tiling.super_tx)
+                if tiling is not None
+                else None
+            )
+            fn_c = self.core.cached_raw(
+                ("multi_checked", struct, cap is not None, self.width, self.height),
+                lambda: self._make_validator(tiling),
+            )
+            big = 1 << 30
+            caps_vec = jnp.asarray(
+                [
+                    cap if cap is not None else big,
+                    tiling.triangle_capacity if tiling else big,
+                    tiling.edge_capacity if tiling else big,
+                    (tiling.super_capacity or big) if tiling else big,
+                    (tiling.drawn_capacity or big) if tiling else big,
+                ],
+                jnp.int32,
+            )
+            err, _ = fn_c(v_j, q_all, t_all, caps_vec)
+            msg = err.get()
+            if msg is not None:
+                import warnings
+
+                warnings.warn(
+                    "multiframe fitter plan capacity overflowed (%s); replanning"
+                    % msg.splitlines()[0]
+                )
+                key = self.core._plan_ctx(self.camera)[4]
+                self.core._jit_cache.pop(("last_plan",) + key[1:], None)
+                stats = np.asarray(
+                    jax.device_get(self.core.stats_dispatch(self.camera, vts))
+                ).max(axis=0)
+                cap, tiling = self.core.plan_from_stats(self.camera, stats)
+                e_frames, images_d, diffs_d, per_frame, shared = run_frames(cap, tiling)
+                scalars = jax.device_get((e_frames, per_frame, shared))
+
         e_frames_h, (gq_h, gt_h), (gv_h, gc_h, gld_h, gla_h) = scalars
         self._vertices_b += np.asarray(gv_h)
         self.mesh_color_b += np.asarray(gc_h)

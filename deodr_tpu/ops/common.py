@@ -255,7 +255,73 @@ def _footprint_table_bwd(tw, res, ct):
 _footprint_table.defvjp(_footprint_table_fwd, _footprint_table_bwd)
 
 
-def bilinear_sample(texture: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+# tri-state cache for the on-TPU convert-pair fold probe: None = not yet
+# probed; True = the pair folds (bitwise no-op, hint safe); False = it does
+# NOT fold (the hint would genuinely quantize texels to bf16 — disabled)
+_FUSE_HINT_OK = None
+
+
+def _probe_fuse_hint() -> bool:
+    """One-time on-device check that XLA folds the f32→bf16→f32 convert pair
+    around the bilinear footprint table (see ``bilinear_sample``).
+
+    Renders a small textured probe with the hint forced ON vs OFF — forward
+    sample AND texture gradient — and requires bitwise equality. The hint is
+    load-bearing for performance only; if an XLA/jax upgrade stops folding
+    the pair, this auto-disables it (loud warning) instead of silently
+    quantizing every texel, which the CPU-pinned CI could never catch
+    (reference texel-exactness contract: readme.md "Texel coordinates";
+    reference: C++/DifferentiableRenderer.h:521-560).
+    """
+    global _FUSE_HINT_OK
+    if _FUSE_HINT_OK is None:
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        tex = jnp.asarray(rng.rand(16, 256, 3).astype(np.float32))
+        # interior + border + exact-integer coordinates, pixel-shaped like a
+        # small framebuffer so the gather/scatter structure matches real use
+        p = jnp.asarray(
+            (rng.rand(8, 128, 2) * np.array([257.0, 17.0]) - 1.0).astype(np.float32)
+        )
+        w = jnp.asarray(rng.rand(8, 128, 3).astype(np.float32))
+
+        def run(force):
+            def loss(t):
+                s = bilinear_sample(t, p, _force_fuse_hint=force)
+                return jnp.sum(s * w), s
+
+            (_, s), g = jax.value_and_grad(loss, has_aux=True)(tex)
+            return s, g
+
+        try:
+            s_on, g_on = jax.jit(lambda: run(True))()
+            s_off, g_off = jax.jit(lambda: run(False))()
+            same = (
+                np.asarray(s_on).tobytes() == np.asarray(s_off).tobytes()
+                and np.asarray(g_on).tobytes() == np.asarray(g_off).tobytes()
+            )
+        except Exception as e:  # pragma: no cover - probe must never break renders
+            import warnings
+
+            warnings.warn(f"texture fuse-hint probe failed ({e!r}); hint disabled")
+            same = False
+        if not same:
+            import warnings
+
+            warnings.warn(
+                "XLA no longer folds the f32->bf16->f32 convert pair around the "
+                "bilinear footprint table: the texture fuse hint would quantize "
+                "texels and has been DISABLED for this process (expect ~10-15% "
+                "slower textured renders; see deodr_tpu/ops/common.py)"
+            )
+        _FUSE_HINT_OK = bool(same)
+    return _FUSE_HINT_OK
+
+
+def bilinear_sample(
+    texture: jnp.ndarray, p: jnp.ndarray, _force_fuse_hint: "Optional[bool]" = None
+) -> jnp.ndarray:
     """Bilinear texture fetch with integer texel centers and border clamp.
 
     ``p[..., 0]`` indexes columns (u), ``p[..., 1]`` rows (v); the sample at
@@ -290,23 +356,32 @@ def bilinear_sample(texture: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     foot = _footprint_table(tf, tw)  # (th·tw, 4C)
     import os
 
-    if (
-        foot.dtype == jnp.float32
-        and jax.default_backend() == "tpu"
-        and not os.environ.get("DEODR_NO_TEX_FUSE_HINT")
-    ):
-        # TPU-only: the XLA:TPU pipeline folds the pair (verified bitwise);
-        # XLA:CPU does NOT and would genuinely quantize texels to bf16.
-        # Fusion hint, NOT a precision change: XLA's simplifier folds this
-        # f32→bf16→f32 convert pair away (outputs are bitwise identical —
-        # verified on the duck image and texture gradients), but the pair
-        # changes the fusion boundaries around the footprint gather, which
-        # flips the in-loop gather from its ~11.6 cycles/row slow form to
-        # the ~2 cycles/row fast form PERFORMANCE.md's "in-loop emitter
-        # gap" section could never trigger deliberately: duck 10.6 →
-        # 9.5 ms/iter, footprint gather 1.25 ms → 0.22 ms. Found while
-        # testing a genuine bf16 table (whose quantization the fold
-        # removes). DEODR_NO_TEX_FUSE_HINT=1 restores the plain graph.
+    use_hint = _force_fuse_hint
+    if use_hint is None:
+        use_hint = (
+            foot.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("DEODR_NO_TEX_FUSE_HINT")
+            # one-time bitwise fold probe (concrete, runs at trace time):
+            # auto-disables the hint if XLA ever stops folding the pair
+            and _probe_fuse_hint()
+        )
+    if use_hint:
+        # f32→bf16→f32 convert pair around the table: when XLA:TPU folds it
+        # (bitwise no-op) the pair still flips the in-loop footprint gather
+        # from its ~11.6 cycles/row slow form to the ~2 cycles/row fast form
+        # (duck 10.6 → 9.5 ms/iter). Round 5's probe found the fold is
+        # GRAPH-DEPENDENT in exactly the way that matters: on the current
+        # XLA it folds in forward-only renders (duck image bitwise equal)
+        # but NOT inside value_and_grad graphs — the fitting loss and every
+        # gradient were computed from bf16-quantized texels (duck loss off
+        # by 4.4, shade grad by 0.83). _probe_fuse_hint therefore probes a
+        # GRADIENT graph and auto-disables the hint (the current state).
+        # Exact alternatives were measured and rejected: two half-width
+        # tables 16.3 ms, per-tap gathers 23.4 ms vs 10.6 plain / 9.5 hint.
+        # If a future XLA folds the pair in grad graphs again, the probe
+        # re-enables the win automatically. DEODR_NO_TEX_FUSE_HINT=1 forces
+        # it off.
         foot = foot.astype(jnp.bfloat16)
     taps = foot[iv * tw + iu].astype(texture.dtype)  # (..., 4C)
     t00 = taps[..., 0 * c : 1 * c]

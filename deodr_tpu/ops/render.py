@@ -317,30 +317,49 @@ def render_scene(
 
 
 def validate_capacities(scene: SceneBuffers, sigma: float, caps, tile_h: int, tile_w: int,
-                        edge_tile_h: int = 0, super_shape=(0, 0)):
-    """Binning-only re-computation of the bin/compaction COUNTS of an
-    UNTEXTURED render, asserted via ``checkify.check`` — no per-pixel work,
-    and every capacity is a DYNAMIC scalar so ONE compilation serves every
-    plan the fitter's hysteresis produces.
+                        edge_tile_h: int = 0, super_shape=(0, 0), tex_block_w: int = 0,
+                        uv_segment_length: float = 0.0, uv_n_split: int = 1):
+    """Binning-only re-computation of the bin/compaction COUNTS of a render,
+    asserted via ``checkify.check`` — no per-pixel work, and every capacity
+    is a DYNAMIC scalar so ONE compilation serves every plan the fitter's
+    hysteresis produces.
 
-    ``caps`` is a (5,) int32 vector of the capacities to check:
+    ``caps`` is a (7,) int32 vector of the capacities to check:
     [aa edge compaction | solid tile bin | edge tile bin | supertile bin |
-    drawn compaction]; pass a huge value (e.g. 2**30) to skip a class.
-    Only ``tile_h``/``tile_w``/``edge_tile_h``/``super_shape`` (grid
-    layouts) are static.
+    drawn compaction | texture tile compaction | texture-window segment
+    compaction]; pass a huge value (e.g. 2**30) to skip a class (a (5,)
+    vector is accepted and skips the two texture classes). Only
+    ``tile_h``/``tile_w``/``edge_tile_h``/``super_shape``/``tex_block_w``
+    (grid layouts) and ``uv_segment_length``/``uv_n_split`` (the textured
+    edge pass's segment-split rule) are static.
 
     The counts are capacity-independent histograms — per-tile bbox-overlap
     counts via the 2-D difference trick (identical to the dense binner's
     mask sums), band-vs-tile SAT mask sums, and plain drawn/active sums —
-    so they are EXACTLY the counts the renderer's bins see, except the
-    edge-tile count which is checked WITHOUT occlusion culling: an upper
-    bound on the rendered count, and the same bound the planner sizes
-    ``edge_capacity`` from, so it fires exactly when the plan's sizing
-    assumption broke. A full ``render_scene(check_capacity=True)`` pass on
-    the XLA path costs ~1.5 s per firing on the hand scenes; this is ~ms.
-    Texture-path capacities (tile compaction, uv segments, quad fallback)
-    are not covered; textured callers should use
+    so they are EXACTLY the counts the renderer's bins see, except:
+
+    - the edge-tile count is checked WITHOUT occlusion culling: an upper
+      bound on the rendered count, and the same bound the planner sizes
+      ``edge_capacity`` from, so it fires exactly when the plan's sizing
+      assumption broke;
+    - the texture-tile count is the number of (8 × ``tex_block_w``) blocks
+      overlapped by a drawn triangle's bbox — the bound the planner sizes
+      ``tex_tile_capacity`` from, and a proven upper bound on the renderer's
+      flag-based occupancy (a block fetches only when a covered TEXTURED
+      pixel lies in it, and every covered pixel lies inside some drawn
+      triangle's bbox);
+    - the texture-window segment count reproduces ``split_edges``'s
+      per-edge segment rule (ceil of the chebyshev uv span over
+      ``uv_segment_length``, clipped to ``uv_n_split``) summed over active
+      silhouette edges — exactly the count ``compact_active_edges`` sees.
+
+    The quad-fallback capacity (opt-in DEODR_QUAD_FETCH path) is the one
+    class not covered — it depends on per-quad tap spans, i.e. per-pixel
+    work; quad-fetch callers should use
     ``render_scene(..., check_capacity=True)``.
+
+    A full ``render_scene(check_capacity=True)`` pass on the XLA path costs
+    ~1.5 s per firing on the hand scenes; this is ~ms.
 
     Must run under ``checkify.checkify``; returns a scalar 0 so it can
     stand in for an energy function's output.
@@ -351,6 +370,10 @@ def validate_capacities(scene: SceneBuffers, sigma: float, caps, tile_h: int, ti
     from deodr_tpu.ops.raster import triangle_row_setup
 
     caps = jnp.asarray(caps)
+    if caps.shape[0] < 7:  # back-compat: (5,) vectors skip the texture classes
+        caps = jnp.concatenate(
+            [caps, jnp.full((7 - caps.shape[0],), 1 << 30, caps.dtype)]
+        )
     offset = 0.0 if scene.integer_pixel_centers else 0.5
     ij_off = scene.ij - offset
     height, width = scene.height, scene.width
@@ -360,8 +383,8 @@ def validate_capacities(scene: SceneBuffers, sigma: float, caps, tile_h: int, ti
         draw = jnp.ones_like(draw)
     draw = draw & (~scene.textured | scene.shaded)
 
-    def tile_histogram_max(x_lo, x_hi, y_lo, y_hi, valid, th, tw):
-        """max over tiles of the bbox-overlap count (== dense bin counts)."""
+    def tile_histogram(x_lo, x_hi, y_lo, y_hi, valid, th, tw):
+        """Per-tile bbox-overlap counts (== dense bin counts), (n_ty, n_tx)."""
         n_ty = -(-height // th)
         n_tx = -(-width // tw)
         ok = valid & (x_lo <= x_hi) & (y_lo <= y_hi)
@@ -375,8 +398,10 @@ def validate_capacities(scene: SceneBuffers, sigma: float, caps, tile_h: int, ti
         delta = delta.at[iy1 + 1, ix0].add(-one)
         delta = delta.at[iy0, ix1 + 1].add(-one)
         delta = delta.at[iy1 + 1, ix1 + 1].add(one)
-        counts = jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
-        return jnp.max(counts).astype(jnp.int32)
+        return jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:n_ty, :n_tx]
+
+    def tile_histogram_max(x_lo, x_hi, y_lo, y_hi, valid, th, tw):
+        return jnp.max(tile_histogram(x_lo, x_hi, y_lo, y_hi, valid, th, tw)).astype(jnp.int32)
 
     setup = triangle_row_setup(
         jax.lax.stop_gradient(ij_off[scene.faces]),
@@ -412,12 +437,37 @@ def validate_capacities(scene: SceneBuffers, sigma: float, caps, tile_h: int, ti
         edge_max = jnp.max(jnp.sum(mask, axis=1)).astype(jnp.int32)
 
     drawn = jnp.sum(draw).astype(jnp.int32)
+
+    tex_blocks = jnp.zeros((), jnp.int32)
+    if scene.texture is not None and tex_block_w > 0:
+        # occupied (8 × bw) texture-fetch blocks, bounded by drawn-triangle
+        # bbox coverage — the planner's own sizing bound for
+        # tex_tile_capacity (see Scene3D._eager_plan / _finish_shading_tile_tex)
+        cb = tile_histogram(x_lo, x_hi, y_lo, y_hi, setup.valid, 8, tex_block_w)
+        tex_blocks = jnp.sum(cb > 0).astype(jnp.int32)
+
+    uv_segments = jnp.zeros((), jnp.int32)
+    if scene.texture is not None and sigma > 0 and uv_segment_length > 0:
+        # reproduce split_edges' per-edge segment rule over active
+        # silhouette edges (ops/tiled.py::split_edges)
+        fuv0 = scene.faces_uv[:, [1, 2, 0]].reshape(-1)
+        fuv1 = scene.faces_uv[:, [0, 1, 2]].reshape(-1)
+        uvspan = jnp.max(jnp.abs(scene.uv[fuv0] - scene.uv[fuv1]), axis=1)
+        need = jnp.maximum(1.0, uvspan / uv_segment_length)
+        n_seg = jnp.clip(
+            jnp.ceil(jnp.nan_to_num(need, nan=1.0, posinf=float(uv_n_split))), 1, uv_n_split
+        )
+        act = scene.edgeflags.reshape(-1) & (signed_area_v > 0)[:, None].repeat(3, axis=1).reshape(-1)
+        uv_segments = jnp.sum(jnp.where(act, n_seg, 0.0)).astype(jnp.int32)
+
     for label, count, cap_i in (
         ("AA edge compaction", aa_count, 0),
         ("solid tile bin", solid_max, 1),
         ("edge tile bin", edge_max, 2),
         ("supertile bin", super_max, 3),
         ("drawn-triangle compaction", drawn, 4),
+        ("texture tile compaction", tex_blocks, 5),
+        ("texture-window segment compaction", uv_segments, 6),
     ):
         checkify.check(
             count <= caps[cap_i],

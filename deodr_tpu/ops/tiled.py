@@ -1085,7 +1085,12 @@ def suggest_tiling(
         elif med_h <= 32:
             tile_h = 16 if for_pallas else 32
         else:
-            tile_h = 64
+            # 48-row tiles (6 sublane groups) measured fastest for the Pallas
+            # kernels on big-triangle scenes after the round-4 band-clip
+            # optimization (512² microbench σ=1: 464 vs 443 Mpix/s at 32,
+            # ~459 at 64) — per-slot vector work shrank, moving the
+            # visit-count vs tile-area balance upward
+            tile_h = 48 if for_pallas else 64
         tile_h = min(tile_h, max(8, height))
     n_ty = -(-height // tile_h)
     n_tx = -(-width // tile_w)

@@ -486,7 +486,7 @@ class Scene3D:
         want_tiling = mesh.nb_faces > 256 and impl_pref != "brute"
         for_pallas = impl_pref == "pallas"
         tile_w = 128 if for_pallas else 64
-        tile_h_candidates = (8, 16, 32, 64)
+        tile_h_candidates = (8, 16, 32, 48, 64)
         offset = 0.0 if self.integer_pixel_centers else 0.5
 
         # ALL plan statistics are computed in ONE jitted device call that
@@ -563,6 +563,7 @@ class Scene3D:
                         p1 = pts[i1] * flat[:, None]
                     occupied_tiles = []
                     super_occ = []
+                    edge_sums = []
                     for th in tile_h_candidates:
                         n_ty = -(-height // th)
                         n_tx = -(-width // tile_w)
@@ -575,8 +576,10 @@ class Scene3D:
                                 flat, n_ty, n_tx, th, tile_w, height, width,
                             )
                             stats.append(m.sum(axis=1).max())
+                            edge_sums.append(m.sum())
                         else:
                             stats.append(jnp.zeros(()))
+                            edge_sums.append(jnp.zeros(()))
                         # supertile occupancy (two-level binning candidates):
                         # supertiles of SUPER_SHAPE tiles
                         n_sy = -(-n_ty // _SUPER_TY)
@@ -601,6 +604,12 @@ class Scene3D:
                         n_bx = -(-width // bw_c)
                         cb = occupancy_counts(x_lo, x_hi, y_lo, y_hi, drawn, n_by8, n_bx, 8, bw_c)
                         stats.append((cb > 0).sum())
+                    # trailing (8 + 4n + len(_TEX_BW_CANDIDATES) + k): TOTAL
+                    # edge-band tile visits per tile-height candidate (SAT
+                    # mask sum) — the edge pass's per-slot work is
+                    # Σ visits × tile area, so these feed the edge-tile-
+                    # height cost scoring (max occupancy alone cannot)
+                    stats += edge_sums
                 return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
 
             return jax.jit(f)
@@ -670,7 +679,10 @@ class Scene3D:
             elif med_h <= 32:
                 tile_h = 16 if for_pallas else 32
             else:
-                tile_h = 64
+                # 48 rows: measured fastest for the Pallas kernels on
+                # big-triangle scenes (512² microbench, see bench.py) after
+                # the round-4 band-clip work shrank per-slot vector costs
+                tile_h = 48 if for_pallas else 64
             tile_h = min(tile_h, max(8, height))
             # debug/tuning override (stats exist for every candidate height)
             import os as _os
@@ -679,14 +691,43 @@ class Scene3D:
             if _th_env and int(_th_env) in tile_h_candidates:
                 tile_h = min(int(_th_env), max(8, height))
             k = tile_h_candidates.index(tile_h)
+            n_cand_e = len(tile_h_candidates)
             tri_cap = int(stats[7 + 2 * k])
-            # the edge passes can use their own tile height (TilingConfig.
-            # edge_tile_h); measured on the duck, matching the solid pass's
-            # height is fastest (short bands), so keep them equal by default
-            # edge passes keep 8-row tiles when the solid pass uses taller
-            # ones (thin AA bands span a short tile anyway; taller edge
-            # tiles only add slot visits — measured above)
+            # Edge tile height. Textured Pallas scenes keep 8-row edge tiles
+            # when the solid pass uses taller ones: the textured edge
+            # kernel's per-visit cost is dominated by window sampling, and
+            # 16-solid/8-edge measured fastest on the duck (10.6 vs 11.2
+            # ms at edge 16). UNTEXTURED Pallas scenes pick the height by a
+            # measured-cost model over the per-candidate SAT visit sums:
+            # cost(th_e) = Σ visits(th_e) · (F + th_e · tile_w · c) — fixed
+            # per-visit scalar work plus tile-area vector work. F and c are
+            # calibrated on the 512² microbench edge-pass times (th_e = 8:
+            # 0.869 ms, 48: 0.372 ms, per-visit sums 4831/1409): long-edge
+            # scenes collapse their visit count with tall tiles (the
+            # microbench loses 2.3x of its edge pass at 8-row tiles) while
+            # short-band scenes keep short tiles. 64-row edge tiles are
+            # excluded: measured slower than 48 despite fewer visits
+            # (vreg/VMEM pressure the linear model cannot see).
             edge_tile_h = 8 if (for_pallas and tile_h > 8) else 0
+            if (
+                for_pallas
+                and sigma > 0
+                and mesh.texture is None
+                and int(stats[0]) > 0
+            ):
+                base_es = 8 + 4 * n_cand_e + len(_TEX_BW_CANDIDATES)
+                F_VISIT, C_PX = 1.63e-4, 1.64e-8  # ms; 512² microbench fit
+
+                def edge_cost(th):
+                    s = float(stats[base_es + tile_h_candidates.index(th)])
+                    return s * (F_VISIT + th * tile_w * C_PX)
+
+                cand_e = [th for th in tile_h_candidates if th <= 48 and th <= max(8, height)]
+                best_e = min(cand_e, key=edge_cost)
+                edge_tile_h = 0 if best_e == tile_h else best_e
+            _eth_env = _os.environ.get("DEODR_EDGE_TILE_H")
+            if _eth_env is not None and (int(_eth_env) == 0 or int(_eth_env) in tile_h_candidates):
+                edge_tile_h = 0 if int(_eth_env) in (0, tile_h) else int(_eth_env)
             ek = tile_h_candidates.index(edge_tile_h) if edge_tile_h else k
             edge_cap = int(stats[8 + 2 * ek]) if sigma > 0 else 8
 

@@ -144,6 +144,136 @@ def test_fitter_periodic_checkified_validation_catches_stats_blind_overflow(monk
     np.testing.assert_allclose([e0, e1, e2], ref_energies, rtol=1e-12)
 
 
+def _textured_scene(n_tri=24, h=32, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    scene = _dense_scene(n_tri, h, w, seed)
+    import dataclasses
+
+    return dataclasses.replace(
+        scene,
+        textured=jnp.ones(n_tri, bool),
+        uv=jnp.asarray(rng.rand(3 * n_tri, 2) * [30.0, 14.0]),
+        shade=jnp.ones(3 * n_tri),
+        texture=jnp.asarray(rng.rand(16, 32, 3)),
+    )
+
+
+def test_validator_texture_tile_class_fires_and_holds():
+    """The ~ms binning-only validator must cover the texture-path classes:
+    a tight tex-tile capacity fires, the planner-style bound holds."""
+    from jax.experimental import checkify
+
+    from deodr_tpu.ops.render import validate_capacities
+
+    scene = _textured_scene()
+    big = 1 << 30
+
+    def run(caps):
+        return checkify.checkify(
+            lambda s: validate_capacities(
+                s, 0.0, jnp.asarray(caps, jnp.int32), 8, 128, tex_block_w=32
+            )
+        )(scene)
+
+    # blocks grid is (32/8) x (128/32) = 16 blocks; triangles sit mid-frame
+    err, _ = run([big, big, big, big, big, 1, big])
+    with pytest.raises(Exception, match="texture tile compaction overflow"):
+        err.throw()
+    err, _ = run([big, big, big, big, big, 16, big])
+    err.throw()  # full grid always suffices
+
+
+def test_validator_uv_segment_class_matches_renderer_count():
+    """The uv-segment count must equal the renderer's own segment-compaction
+    count (sum over active silhouette edges of split_edges' n_seg)."""
+    import dataclasses
+
+    from jax.experimental import checkify
+
+    from deodr_tpu.ops.render import _build_edge_data, _culling, validate_capacities
+    from deodr_tpu.ops.tiled import split_edges
+
+    scene = _textured_scene()
+    seg_len, n_split = 4.0, 8
+    # renderer-side count: build edge data, split, count active segments
+    area = _culling(scene)
+    edges = _build_edge_data(scene, scene.ij, area, None)
+    segs = split_edges(edges, n_split, None, uv_segment_length=seg_len)
+    n_ren = int(jnp.sum(segs.active))
+    assert n_ren > int(jnp.sum(edges.active))  # splitting actually happened
+
+    big = 1 << 30
+
+    def run(cap_seg):
+        caps = [big, big, big, big, big, big, cap_seg]
+        return checkify.checkify(
+            lambda s: validate_capacities(
+                s, 1.0, jnp.asarray(caps, jnp.int32), 8, 128,
+                tex_block_w=32, uv_segment_length=seg_len, uv_n_split=n_split,
+            )
+        )(scene)
+
+    err, _ = run(n_ren)
+    err.throw()  # exact count passes
+    err, _ = run(n_ren - 1)
+    with pytest.raises(Exception, match="texture-window segment compaction overflow"):
+        err.throw()
+
+
+def _multiframe_fitter(n_frames=2, h=64, w=64):
+    from deodr_tpu.geometry.primitives import octahedron_mesh
+    from deodr_tpu.mesh_fitter import MeshRGBFitterWithPoseMultiFrame
+
+    base = octahedron_mesh(n_subdivision=3)  # 512 faces -> tiled plan
+    fitter = MeshRGBFitterWithPoseMultiFrame(
+        vertices=np.asarray(base.vertices),
+        faces=np.asarray(base.faces),
+        euler_init=np.zeros((n_frames, 3)),
+        translation_init=np.zeros((n_frames, 3)),
+        default_color=np.array([0.4, 0.3, 0.25]),
+        default_light_directional=np.array([0.1, 0.5, 0.4]),
+        default_light_ambient=0.6,
+    )
+    fitter.set_background_color(np.array([0.1, 0.2, 0.3]))
+    rng = np.random.RandomState(0)
+    fitter.set_images([np.clip(0.5 + 0.2 * rng.rand(h, w, 3), 0, 1) for _ in range(n_frames)])
+    return fitter
+
+
+def test_multiframe_fitter_periodic_checkified_validation(monkeypatch):
+    """The multiframe fitter's every-N checkified validation must catch an
+    overflow the bbox-stats validation cannot see, warn, and replan —
+    producing the SAME energies as an untouched fit."""
+    import warnings
+
+    from deodr_tpu.mesh_fitter import _FitterRenderCore
+
+    ref = _multiframe_fitter()
+    ref_energies = [ref.step()[0] for _ in range(3)]
+
+    poked = _multiframe_fitter()
+    poked.core.check_every = 1
+    e0 = poked.step()[0]
+    e1 = poked.step()[0]
+    _poke_plan_multi(poked, triangle_capacity=2)
+    monkeypatch.setattr(_FitterRenderCore, "plan_fits", lambda self, *a, **k: True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        e2 = poked.step()[0]
+    assert any("replanning" in str(w.message) for w in caught), (
+        "multiframe checkified validation should have warned and replanned"
+    )
+    np.testing.assert_allclose([e0, e1, e2], ref_energies, rtol=1e-12)
+
+
+def _poke_plan_multi(fitter, **tiling_updates):
+    core = fitter.core
+    key = ("last_plan",) + core._plan_ctx(fitter.camera)[4][1:]
+    cap, tiling = core._jit_cache[key]
+    core._jit_cache[key] = (cap, tiling._replace(**tiling_updates))
+    return cap, tiling
+
+
 def test_checkify_composes_under_jit():
     from jax.experimental import checkify
 

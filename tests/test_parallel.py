@@ -185,6 +185,71 @@ def test_tile_sharded_gradients_match_pallas():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-11)
 
 
+def test_check_vma_divergence_canary(monkeypatch):
+    """EXPIRY CANARY for the check_vma=False workaround in
+    ``_make_energy_sharded`` (see the comment there and
+    tools/check_vma_repro.py): on jax 0.9, shard_map(check_vma=True)
+    gradients are miscompiled when a ``jax.config.update("jax_platforms",
+    ...)`` override is active — which this suite's conftest needs. This test
+    FORCES the checker ON and asserts the (currently wrong) divergence; it
+    is a STRICT xfail, so the jax upgrade that fixes the lowering makes it
+    XPASS-fail the suite — the signal to delete the workaround and this
+    canary together."""
+    import pytest
+
+    from deodr_tpu.geometry.primitives import octahedron_mesh
+    from deodr_tpu.mesh_fitter import MeshRGBFitterWithPoseMultiFrame
+    from jax.sharding import Mesh
+
+    orig = jax.shard_map
+
+    def force_checker(f, **kw):
+        if "check_vma" in kw:
+            kw["check_vma"] = True
+        return orig(f, **kw)
+
+    monkeypatch.setattr(jax, "shard_map", force_checker)
+
+    n_frames, steps, h, w = 4, 2, 48, 64
+    base = octahedron_mesh(n_subdivision=1)
+    rng = np.random.RandomState(0)
+    images = [np.clip(0.5 + 0.2 * rng.rand(h, w, 3), 0, 1) for _ in range(n_frames)]
+
+    def make_fitter():
+        f = MeshRGBFitterWithPoseMultiFrame(
+            vertices=np.asarray(base.vertices),
+            faces=np.asarray(base.faces),
+            euler_init=np.zeros((n_frames, 3)),
+            translation_init=np.zeros((n_frames, 3)),
+            default_color=np.array([0.4, 0.3, 0.25]),
+            default_light_directional=np.array([0.1, 0.5, 0.4]),
+            default_light_ambient=0.6,
+        )
+        f.set_background_color(np.array([0.1, 0.2, 0.3]))
+        f.set_images(images)
+        return f
+
+    seq = make_fitter()
+    es = [seq.step()[0] for _ in range(steps)]
+    par = make_fitter()
+    par.set_device_mesh(Mesh(np.array(jax.devices()[:4]), ("views",)))
+    ep = [par.step()[0] for _ in range(steps)]
+    rel = max(abs(a - b) / abs(a) for a, b in zip(es, ep))
+    if rel > 1e-9:
+        pytest.xfail(
+            f"known jax 0.9 bug: check_vma=True + jax_platforms override "
+            f"miscompiles shard_map gradients (rel diff {rel:.3g}); the "
+            f"check_vma=False workaround in _make_energy_sharded stays"
+        )
+    # reaching here means the jax bug is FIXED: fail loudly so the
+    # workaround (and this canary) get removed
+    raise AssertionError(
+        "check_vma=True now matches sequential: the jax lowering bug is "
+        "fixed — remove check_vma=False in _make_energy_sharded and delete "
+        "this canary"
+    )
+
+
 def test_multiframe_fitter_view_sharded_matches_sequential():
     """The REAL multi-frame fitter (heavy-ball, rigid energy, per-param
     clamps) must produce the same energy trajectory and parameters when its

@@ -137,3 +137,58 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def profile_config(level: int, res: int, sigma: float, trace_dir: str, iters: int = 3) -> None:
+    """Like run_config but wraps one chained dispatch in a jax.profiler trace
+    (parse with tools/parse_trace.py) instead of timing reps."""
+    import jax
+    import jax.numpy as jnp
+
+    from deodr_tpu import default_camera
+    from deodr_tpu.geometry.primitives import octahedron_mesh
+    from deodr_tpu.ops.render import render_scene
+    from deodr_tpu.scene import Scene3D
+    import dataclasses
+
+    mesh = octahedron_mesh(level)
+    rot = np.array([[1.0, 0, 0], [0, -1, 0], [0, 0, -1]])
+    camera = default_camera(res, res, 60, np.asarray(mesh.vertices), rot)
+    scene = Scene3D(sigma=sigma)
+    scene.set_mesh(mesh)
+    scene.set_light(np.array([-0.4, -0.4, -0.8]), 0.4)
+    scene.set_background_color(np.array([0.2, 0.3, 0.5]))
+    cap, tiling, aa_window, aa_tex_window, aa_tex_plan = scene._eager_plan(camera)
+    print(f"# tiling={tiling} cap={cap}", file=sys.stderr, flush=True)
+    buffers, _ = scene._build_buffers(camera, *scene._diff_inputs(False), True, None)
+    buffers = jax.tree.map(jnp.asarray, buffers)
+    impl_arg = None if scene.impl in (None, "auto", "brute") else scene.impl
+
+    def render(buf):
+        image, _, _ = render_scene(
+            buf, float(sigma), aa_edge_capacity=cap, tiling=tiling, impl=impl_arg,
+            aa_window=aa_window, aa_tex_window=aa_tex_window, aa_tex_plan=aa_tex_plan,
+        )
+        return image
+
+    obs = jnp.clip(jax.jit(render)(buffers) + 0.05, 0.0, 1.0)
+
+    def one_step(params):
+        ij, colors = params
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.sum((render(dataclasses.replace(buffers, ij=p[0], colors=p[1])) - obs) ** 2)
+        )((ij, colors))
+        return jax.tree.map(lambda p, g: p - 1e-12 * g, params, grads), loss
+
+    @jax.jit
+    def chained(params):
+        return jax.lax.scan(lambda p, _: one_step(p), params, None, length=iters)
+
+    params = (buffers.ij, buffers.colors)
+    out = chained(params)
+    jax.block_until_ready(out)
+    jax.profiler.start_trace(trace_dir)
+    out = chained(out[0])
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    print("trace written to", trace_dir, file=sys.stderr)
