@@ -83,6 +83,58 @@ class TilingConfig(NamedTuple):
     super_ty: int = 0
     super_tx: int = 0
     super_capacity: int = 0
+    # pair-expansion binning (see _bin_to_tiles_pairs): when pair_ry ×
+    # pair_rx > 0, each drawn triangle enumerates its ≤ pair_ry·pair_rx
+    # overlapped tiles as explicit (triangle, tile) PAIRS; slot lists come
+    # from one flat scatter by (tile, rank) instead of the (n_tiles × N ×
+    # capacity) one-hot contraction, and the per-tile table gathers route
+    # their adjoints through the pairs (one flat row-gather + a per-triangle
+    # segment sum) instead of a big scatter-add. This is the large-mesh fast
+    # path: at 131k faces the one-hot contractions + hier-binning gathers
+    # it replaces measured ~26 ms/iter. Triangles whose bbox spans more
+    # tiles than (pair_ry, pair_rx) overflow (checked via check_capacity,
+    # like every other capacity) — the planner sizes the spans from
+    # measured geometry. Takes precedence over super_* when set.
+    pair_ry: int = 0
+    pair_rx: int = 0
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_table_rows_pairs(r, table, idx, pair_row, pair_ok):
+    """``table[idx]`` whose adjoint routes through the binning PAIRS.
+
+    ``table`` is (N+1, W) with a trailing miss row; ``idx`` (n_tiles,
+    cap+1) are the per-tile slot ids (+ miss column). The plain adjoint is
+    a scatter-add over n_tiles·(cap+1) rows (~8.6 ms at 131k faces); since
+    every VALID slot was placed by exactly one pair (PairBins.pair_row),
+    the transpose is instead ONE flat row-gather of the cotangent at the
+    pair rows plus a per-triangle segment sum over the triangle-major pairs
+    (~2 ms). Slots past each tile's count and the miss column must carry
+    zero cotangent (the raster backward zeroes them)."""
+    del r, pair_row, pair_ok
+    return table[idx]
+
+
+def _gather_table_rows_pairs_fwd(r, table, idx, pair_row, pair_ok):
+    return table[idx], (table.shape, idx.shape, pair_row, pair_ok)
+
+
+def _gather_table_rows_pairs_bwd(r, res, ct):
+    tshape, idx_shape, pair_row, pair_ok = res
+    n_rows, w = int(tshape[0]), int(tshape[1])
+    nt, c1 = idx_shape
+    ct_flat = ct.reshape(nt * c1, w)
+    rows = jnp.clip(pair_row, 0, nt * c1 - 1)
+    g_pair = ct_flat[rows] * pair_ok[:, None].astype(ct.dtype)
+    g = jnp.sum(g_pair.reshape(n_rows - 1, r, w), axis=1)
+    g = jnp.concatenate([g, jnp.zeros((1, w), ct.dtype)], axis=0)
+    return g, None, None, None
+
+
+_gather_table_rows_pairs.defvjp(_gather_table_rows_pairs_fwd, _gather_table_rows_pairs_bwd)
 
 
 def _exclusive_prefix_count(maskf: jnp.ndarray) -> jnp.ndarray:
@@ -102,16 +154,121 @@ def _exclusive_prefix_count(maskf: jnp.ndarray) -> jnp.ndarray:
     return rank.reshape(tn, -1)[:, :n]
 
 
+class PairBins(NamedTuple):
+    """Slot lists plus the (triangle, tile) pair enumeration that produced
+    them (see _bin_to_tiles_pairs). ``pair_row[p]`` is the flat
+    ``tile·(cap+1) + rank`` row each pair occupies in a cap+1-row per-tile
+    table (the +1 leaves the miss row addressable), ``pair_ok`` marks pairs
+    that landed (in-grid, within span, rank < cap). Pairs are
+    triangle-major: pair p belongs to triangle p // (ry·rx)."""
+
+    slots: jnp.ndarray  # (n_tiles, cap) int32
+    slot_valid: jnp.ndarray  # (n_tiles, cap) bool
+    counts: jnp.ndarray  # (n_tiles,) int32
+    pair_row: Optional[jnp.ndarray] = None  # (P,) int32
+    pair_ok: Optional[jnp.ndarray] = None  # (P,) bool
+    r: int = 0  # pairs per triangle (ry·rx); 0 = no pair info
+
+
 def _bin_boxes(tiling, x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, capacity, checks=None):
-    """Dispatch bbox binning: two-level when the TilingConfig enables it
-    (and the grid is actually coarser than one supertile), dense otherwise."""
+    """Dispatch bbox binning: pair-expansion when the TilingConfig enables
+    it, two-level when super_* is set (and the grid is actually coarser
+    than one supertile), dense otherwise. Returns a PairBins (pair fields
+    populated only on the pair path)."""
     th, tw = tiling.tile_h, tiling.tile_w
+    if tiling.pair_ry and tiling.pair_rx:
+        return _bin_to_tiles_pairs(
+            x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, th, tw, capacity,
+            tiling.pair_ry, tiling.pair_rx, checks=checks,
+        )
     if tiling.super_capacity and (n_ty > tiling.super_ty or n_tx > tiling.super_tx):
-        return _bin_to_tiles_hier(
+        return PairBins(*_bin_to_tiles_hier(
             x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, th, tw, capacity,
             (tiling.super_ty, tiling.super_tx), tiling.super_capacity, checks=checks,
-        )
-    return _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, th, tw, capacity)
+        ))
+    return PairBins(*_bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, th, tw, capacity))
+
+
+def _bin_to_tiles_pairs(
+    x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, capacity, ry, rx, checks=None
+):
+    """Pair-expansion binning: same slot lists as :func:`_bin_to_tiles`
+    (identical ranks — both use the stable prefix-count order), built
+    without the (n_tiles × N × cap) one-hot contraction.
+
+    The dense membership mask and its prefix counts are kept (they are
+    chunked MXU matmuls, cheap even at 131k faces); the expensive slot
+    EXTRACTION becomes: enumerate each triangle's ≤ ry·rx overlapped tiles
+    as pairs, read each pair's rank with one flat element-gather from the
+    prefix matrix, and scatter triangle ids into the (n_tiles · cap) slot
+    buffer at (tile, rank). Cost scales with the PAIR count (≈ N for tiny
+    triangles) instead of n_tiles · N · cap.
+    """
+    n = x_lo.shape[0]
+    n_tiles = n_ty * n_tx
+    cap = min(capacity, n)
+    ix0 = jnp.floor_divide(x_lo.astype(jnp.int32), tile_w)
+    ix1 = jnp.floor_divide(x_hi.astype(jnp.int32), tile_w)
+    iy0 = jnp.floor_divide(y_lo.astype(jnp.int32), tile_h)
+    iy1 = jnp.floor_divide(y_hi.astype(jnp.int32), tile_h)
+    nonempty = valid & (x_lo <= x_hi) & (y_lo <= y_hi)
+    # clamp the enumeration origin into the grid (membership below only
+    # tests in-grid tiles, so this matches the dense mask exactly) and drop
+    # fully off-grid boxes
+    nonempty = nonempty & (iy1 >= 0) & (ix1 >= 0) & (iy0 < n_ty) & (ix0 < n_tx)
+    iy0 = jnp.clip(iy0, 0, n_ty - 1)
+    ix0 = jnp.clip(ix0, 0, n_tx - 1)
+    iy1 = jnp.clip(iy1, 0, n_ty - 1)
+    ix1 = jnp.clip(ix1, 0, n_tx - 1)
+
+    if checks is not None:
+        span_y = jnp.max(jnp.where(nonempty, iy1 - iy0 + 1, 0))
+        span_x = jnp.max(jnp.where(nonempty, ix1 - ix0 + 1, 0))
+        checks.append(("pair-binning y tile span", span_y, ry))
+        checks.append(("pair-binning x tile span", span_x, rx))
+
+    # dense membership mask + stable ranks (shared with _bin_to_tiles)
+    tys = jnp.arange(n_ty)[:, None, None]
+    txs = jnp.arange(n_tx)[None, :, None]
+    mask = (
+        nonempty[None, None, :]
+        & (tys >= iy0[None, None, :]) & (tys <= iy1[None, None, :])
+        & (txs >= ix0[None, None, :]) & (txs <= ix1[None, None, :])
+    ).reshape(n_tiles, n)
+    rank_mat = _exclusive_prefix_count(mask.astype(jnp.float32)).astype(jnp.int32)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32)
+
+    # pair enumeration (triangle-major): p = tri·(ry·rx) + dy·rx + dx
+    dy = jnp.arange(ry, dtype=jnp.int32)[None, :, None]
+    dx = jnp.arange(rx, dtype=jnp.int32)[None, None, :]
+    ty_p = iy0[:, None, None] + dy  # (N, ry, rx)
+    tx_p = ix0[:, None, None] + dx
+    ok = (
+        nonempty[:, None, None]
+        & (dy <= (iy1 - iy0)[:, None, None]) & (dx <= (ix1 - ix0)[:, None, None])
+        & (ty_p < n_ty) & (tx_p < n_tx)
+    )
+    tile_p = (ty_p * n_tx + tx_p).reshape(-1)
+    ok = ok.reshape(-1)
+    tri_p = jnp.repeat(jnp.arange(n, dtype=jnp.int32), ry * rx)
+    # flat element-gather of each pair's rank from the prefix matrix
+    flat_idx = jnp.where(ok, tile_p * n + tri_p, 0)
+    rank_p = rank_mat.reshape(-1)[flat_idx]
+    ok = ok & (rank_p < cap)  # rank overflow == bin-capacity overflow (checked)
+
+    # one flat scatter builds every tile's slot list at once; colliding
+    # (tile, rank) pairs cannot exist for ok pairs (ranks are unique per
+    # tile), the rest land in the dump row
+    idx = jnp.where(ok, tile_p * cap + rank_p, n_tiles * cap)
+    slots = (
+        jnp.zeros(n_tiles * cap + 1, jnp.int32).at[idx].set(tri_p, mode="drop")[: n_tiles * cap]
+    ).reshape(n_tiles, cap)
+    ks = jnp.arange(cap, dtype=jnp.int32)
+    slot_valid = ks[None, :] < counts[:, None]
+    # pair_row addresses rows of a (n_tiles, cap+1)-row table (miss row kept
+    # addressable at rank == cap) — what the table-gather adjoints consume
+    pair_row = jnp.where(ok, tile_p * (cap + 1) + rank_p, n_tiles * (cap + 1))
+    return PairBins(slots, slot_valid, counts, pair_row, ok, ry * rx)
 
 
 def _bin_to_tiles_hier(
@@ -223,6 +380,34 @@ def _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, tile_h, tile_w, cap
     )  # (n_ty, n_tx, N)
     mask = mask.reshape(n_ty * n_tx, -1)
     return _compact_bins(mask, capacity)
+
+
+def _compact_index_perm(keep: jnp.ndarray, cap: int):
+    """Stable front-compaction permutation: perm (cap,) int32 listing the
+    kept indices in order, got (cap,) bool. For small caps the one-hot MXU
+    contraction wins; for large caps (the 131k-face drawn compaction,
+    where the (N × cap) contraction measured 6.7 ms/iter) a single flat
+    scatter-set of the kept ids at their ranks (~1.7 ms) does."""
+    n = keep.shape[0]
+    keepf = keep.astype(jnp.float32)
+    rank = (jnp.cumsum(keepf) - keepf).astype(jnp.int32)
+    ks = jnp.arange(cap, dtype=jnp.int32)
+    got = ks < jnp.sum(keep).astype(jnp.int32)
+    # crossover: one-hot cost ~ n·cap · 1.1e-3 ns/elem vs scatter ~14 ns/row
+    # (measured v5e) → scatter wins once cap exceeds ~12k; use 8192
+    if cap > 8192:
+        idx = jnp.where(keep & (rank < cap), rank, cap)
+        perm = (
+            jnp.zeros(cap + 1, jnp.int32)
+            .at[idx]
+            .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+        )
+        return perm, got
+    onehot = ((rank[:, None] == ks[None, :]) & keep[:, None]).astype(jnp.float32)
+    perm = jnp.einsum(
+        "nk,n->k", onehot, jnp.arange(n, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)
+    return perm, got
 
 
 def _compact_bins(mask: jnp.ndarray, capacity: int):
@@ -427,7 +612,7 @@ def find_winners_tiled(
     slots, slot_valid, counts = _bin_boxes(
         tiling, setup.x_lo, setup.x_hi, y_lo_all, y_hi_all, setup.valid,
         n_ty, n_tx, tiling.triangle_capacity, checks=checks,
-    )
+    )[:3]
 
     big = jnp.asarray(jnp.inf, dtype)
     tile_ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
@@ -491,7 +676,7 @@ def _winner_slots_tiled(setup: TriangleRowSetup, width, height, strict_edge, per
     slots, slot_valid, counts = _bin_boxes(
         tiling, setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
         n_ty, n_tx, cap, checks=checks,
-    )
+    )[:3]
     cap = slots.shape[1]  # may be < capacity when there are few triangles
     big = jnp.asarray(jnp.inf, dtype)
     tile_ids = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
@@ -581,14 +766,7 @@ def rasterize_tiled(
         dcap = min(tiling.drawn_capacity, t_all)
         if checks is not None:
             checks.append(("drawn-triangle compaction", jnp.sum(draw), dcap))
-        drawf = draw.astype(jnp.float32)
-        rank = (jnp.cumsum(drawf) - drawf).astype(jnp.int32)
-        ks = jnp.arange(dcap, dtype=jnp.int32)
-        onehot = ((rank[:, None] == ks[None, :]) & draw[:, None]).astype(jnp.float32)
-        perm = jnp.einsum(
-            "nk,n->k", onehot, jnp.arange(t_all, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
-        ).astype(jnp.int32)
-        got = ks < jnp.sum(draw).astype(jnp.int32)
+        perm, got = _compact_index_perm(draw, dcap)
         faces = faces[perm]
         faces_uv = faces_uv[perm]
         textured = textured[perm]
@@ -982,14 +1160,7 @@ def rasterize_tiled_pallas(
         dcap = min(tiling.drawn_capacity, t_all)
         if checks is not None:
             checks.append(("drawn-triangle compaction", jnp.sum(draw), dcap))
-        drawf = draw.astype(jnp.float32)
-        rank = (jnp.cumsum(drawf) - drawf).astype(jnp.int32)
-        ks = jnp.arange(dcap, dtype=jnp.int32)
-        onehot = ((rank[:, None] == ks[None, :]) & draw[:, None]).astype(jnp.float32)
-        perm = jnp.einsum(
-            "nk,n->k", onehot, jnp.arange(t_all, dtype=jnp.float32), precision=jax.lax.Precision.HIGHEST
-        ).astype(jnp.int32)
-        got = ks < jnp.sum(draw).astype(jnp.int32)
+        perm, got = _compact_index_perm(draw, dcap)
         faces = faces[perm]
         faces_uv = faces_uv[perm]
         textured = textured[perm]
@@ -1007,10 +1178,11 @@ def rasterize_tiled_pallas(
         jax.lax.stop_gradient(v_xy), jax.lax.stop_gradient(v_z), draw,
         width, height, scene.strict_edge, persp,
     )
-    slots, slot_valid, counts = _bin_boxes(
+    bins = _bin_boxes(
         tiling, setup.x_lo, setup.x_hi, setup.y_lo[:, 0], setup.y_hi[:, 1], setup.valid,
         n_ty, n_tx, tiling.triangle_capacity, checks=checks,
     )
+    slots, slot_valid, counts = bins.slots, bins.slot_valid, bins.counts
     cap = slots.shape[1]
 
     packed = _pack_setup_rows(setup, dtype, scene.strict_edge)  # (T, 22)
@@ -1026,7 +1198,15 @@ def rasterize_tiled_pallas(
     affine_g = jnp.swapaxes(affine, 1, 2).reshape(affine.shape[0], 3 * d_total)
     affine_g = jnp.concatenate([affine_g, jnp.zeros((1, 3 * d_total), dtype)], axis=0)
     miss = jnp.full((slots.shape[0], 1), affine_g.shape[0] - 1, jnp.int32)
-    affine_tile = jnp.swapaxes(gather_rows_mm(affine_g, jnp.concatenate([slots, miss], axis=1)), 1, 2)  # (n_tiles, 3D, cap+1)
+    idx_m = jnp.concatenate([slots, miss], axis=1)
+    if bins.r:
+        # pair-routed adjoint: one flat cotangent row-gather + segment sum
+        # instead of the n_tiles·(cap+1)-row scatter-add
+        affine_tile = jnp.swapaxes(
+            _gather_table_rows_pairs(bins.r, affine_g, idx_m, bins.pair_row, bins.pair_ok), 1, 2
+        )  # (n_tiles, 3D, cap+1)
+    else:
+        affine_tile = jnp.swapaxes(gather_rows_mm(affine_g, idx_m), 1, 2)
 
     cfg = PallasRasterConfig(
         tile_h=th, tile_w=tw, n_ty=n_ty, n_tx=n_tx, cap=cap, n_attr=d_total,

@@ -610,6 +610,14 @@ class Scene3D:
                     # Σ visits × tile area, so these feed the edge-tile-
                     # height cost scoring (max occupancy alone cannot)
                     stats += edge_sums
+                    # then per-candidate max bbox tile-ROW span + one
+                    # tile-COLUMN span — sizes pair-expansion binning
+                    # (ops/tiled.py::_bin_to_tiles_pairs)
+                    for th in tile_h_candidates:
+                        sy = jnp.floor(y_hi / th) - jnp.floor(y_lo / th) + 1
+                        stats.append(jnp.max(jnp.where(drawn, sy, 0.0)))
+                    sx = jnp.floor(x_hi / tile_w) - jnp.floor(x_lo / tile_w) + 1
+                    stats.append(jnp.max(jnp.where(drawn, sx, 0.0)))
                 return jnp.stack([jnp.asarray(s, jnp.float32) for s in stats])
 
             return jax.jit(f)
@@ -797,12 +805,28 @@ class Scene3D:
                     n_quads = tex_tile_cap * (8 // 2) * ((tex_block_w or tile_w) // 2)  # 8-row fetch blocks
                     need = -(-n_quads // 24)
                     quad_fallback_cap = min(n_quads, max(512, -(-need // 256) * 256))
-            # two-level binning once the dense (n_tiles × N) mask would be
-            # large (N = post-compaction triangle count); the supertile
-            # capacity comes from the measured coarse occupancy
+            # large-mesh binning strategy, in preference order:
+            # 1. pair-expansion binning when every drawn bbox spans few
+            #    tiles (the tiny-triangle regime): slot lists by flat
+            #    scatter + pair-routed table adjoints — replaces the
+            #    one-hot compactions AND the supertile machinery
+            #    (ops/tiled.py::_bin_to_tiles_pairs);
+            # 2. two-level supertile binning once the dense (n_tiles × N)
+            #    mask would be large and bboxes span too many tiles
+            pair_ry = pair_rx = 0
             super_ty = super_tx = super_capacity = 0
             n_bin_items = n_drawn if for_pallas else mesh.nb_faces
-            if n_tiles_sel * max(n_bin_items, 1) > (1 << 22):
+            base_sp = 8 + 4 * n_cand + len(_TEX_BW_CANDIDATES) + n_cand
+            span_y_sel = int(stats[base_sp + k])
+            span_x_sel = int(stats[base_sp + n_cand])
+            if (
+                for_pallas
+                and n_bin_items >= 8192
+                and span_y_sel > 0
+                and span_y_sel * span_x_sel <= 8
+            ):
+                pair_ry, pair_rx = span_y_sel, span_x_sel
+            elif n_tiles_sel * max(n_bin_items, 1) > (1 << 22):
                 super_ty, super_tx = _SUPER_TY, _SUPER_TX
                 super_capacity = bucket(max(super_occ_sel, 8))
             tiling = TilingConfig(
@@ -822,6 +846,8 @@ class Scene3D:
                 super_ty=super_ty,
                 super_tx=super_tx,
                 super_capacity=super_capacity,
+                pair_ry=pair_ry,
+                pair_rx=pair_rx,
             )
 
         # Pallas textured edge pass: per-segment texture windows + uv-split
@@ -905,6 +931,14 @@ class Scene3D:
                         and super_occ_sel
                         <= l_tiling.super_capacity
                         <= 4 * max(tiling.super_capacity, 8)
+                    )
+                )
+                and (
+                    (tiling.pair_ry == 0 and l_tiling.pair_ry == 0)
+                    or (
+                        tiling.pair_ry > 0
+                        and span_y_sel <= l_tiling.pair_ry <= span_y_sel + 2
+                        and span_x_sel <= l_tiling.pair_rx <= span_x_sel + 2
                     )
                 )
             ):

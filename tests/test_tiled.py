@@ -76,3 +76,79 @@ def test_drawn_compaction_matches_uncompacted():
     g_p = jax.grad(lambda ij: loss(ij, t_plain))(base.ij)
     g_c = jax.grad(lambda ij: loss(ij, t_comp))(base.ij)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_c), rtol=0, atol=1e-12)
+
+
+def test_pair_binning_matches_dense():
+    """TilingConfig.pair_ry/pair_rx (pair-expansion binning: flat-scatter
+    slot lists + pair-routed table adjoints) must reproduce the dense
+    binning path exactly — image, z-buffer and gradients — on both the
+    Pallas(interpret) and XLA tiled paths."""
+    np.random.seed(11)
+    scene2d = create_example_scene(n_tri=40, width=256, height=128)
+    scene2d.backface_culling = True
+    base = scene2d._buffers(*scene2d._diff_inputs())
+    t_plain = TilingConfig(tile_h=16, tile_w=128, triangle_capacity=32, edge_capacity=64)
+    # soup triangles span up to the full 8 tile rows at th=16, 2 tile cols
+    t_pair = t_plain._replace(pair_ry=8, pair_rx=2)
+
+    for impl, interp in (("pallas", True), ("xla", False)):
+        def render(ij, colors, tiling_cfg):
+            b = dataclasses.replace(base, ij=ij, colors=colors)
+            return render_scene(b, 0.0, tiling=tiling_cfg, impl=impl, impl_interpret=interp)
+
+        img_p, zb_p, _ = jax.jit(lambda i, c: render(i, c, t_plain))(base.ij, base.colors)
+        img_q, zb_q, _ = jax.jit(lambda i, c: render(i, c, t_pair))(base.ij, base.colors)
+        np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_q), err_msg=impl)
+        np.testing.assert_array_equal(np.asarray(zb_p), np.asarray(zb_q), err_msg=impl)
+
+        def loss(params, tiling_cfg):
+            img, _, _ = render(params[0], params[1], tiling_cfg)
+            return jnp.sum(img**2)
+
+        g_p = jax.grad(lambda p: loss(p, t_plain))((base.ij, base.colors))
+        g_q = jax.grad(lambda p: loss(p, t_pair))((base.ij, base.colors))
+        # the pair-routed adjoint sums cotangent rows in a different order
+        # than the scatter-add it replaces: identical up to f64 roundoff
+        for a, b in zip(g_p, g_q):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12, err_msg=impl)
+
+
+def test_pair_binning_with_drawn_compaction_and_sigma():
+    """Pair binning composed with drawn compaction and the AA edge pass
+    (the large-mesh production stack) matches the dense path."""
+    np.random.seed(13)
+    scene2d = create_example_scene(n_tri=40, width=256, height=128)
+    scene2d.backface_culling = True
+    base = scene2d._buffers(*scene2d._diff_inputs())
+    t_plain = TilingConfig(tile_h=16, tile_w=128, triangle_capacity=32, edge_capacity=64,
+                           drawn_capacity=48, edge_tile_h=8)
+    t_pair = t_plain._replace(pair_ry=8, pair_rx=2)
+
+    def render(ij, tiling_cfg):
+        b = dataclasses.replace(base, ij=ij)
+        return render_scene(b, 1.0, aa_edge_capacity=96, tiling=tiling_cfg,
+                            impl="pallas", impl_interpret=True)
+
+    img_p, _, _ = jax.jit(lambda i: render(i, t_plain))(base.ij)
+    img_q, _, _ = jax.jit(lambda i: render(i, t_pair))(base.ij)
+    np.testing.assert_array_equal(np.asarray(img_p), np.asarray(img_q))
+
+    g_p = jax.grad(lambda i: jnp.sum(render(i, t_plain)[0] ** 2))(base.ij)
+    g_q = jax.grad(lambda i: jnp.sum(render(i, t_pair)[0] ** 2))(base.ij)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_q), rtol=0, atol=1e-12)
+
+
+def test_pair_binning_span_overflow_raises():
+    """A bbox spanning more tiles than (pair_ry, pair_rx) must fail the
+    capacity check loudly (pairs beyond the span are silently absent from
+    the bins — exactly the overflow class check_capacity exists for)."""
+    from deodr_tpu.ops.render import render_scene_checked
+
+    np.random.seed(11)
+    scene2d = create_example_scene(n_tri=40, width=256, height=128)
+    scene2d.backface_culling = True
+    base = scene2d._buffers(*scene2d._diff_inputs())
+    too_small = TilingConfig(tile_h=16, tile_w=128, triangle_capacity=32, edge_capacity=64,
+                             pair_ry=2, pair_rx=2)
+    with pytest.raises(Exception, match="pair-binning y tile span overflow"):
+        render_scene_checked(base, 0.0, tiling=too_small, impl="xla")
