@@ -324,8 +324,8 @@ def main_large():
     # take minutes each, so a caller's timeout may land mid-run — configs
     # already recorded in the artifact are kept and skipped, each finished
     # config is flushed immediately, and a re-run completes the rest
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "LARGE_r04.json")
-    faces_of = {5: 8192, 7: 131072}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "LARGE_r05.json")
+    faces_of = {5: 8192, 6: 32768, 7: 131072}
     records = []
     if os.path.exists(path):
         try:
@@ -334,7 +334,11 @@ def main_large():
             records = []
     done = {(r["faces"], r["res"], r["sigma"]) for r in records}
     out = {"platform": jax.devices()[0].platform, "configs": records}
-    for level, res, sigma in ((5, 1024, 1.0), (7, 2048, 1.0), (7, 2048, 0.0)):
+    # the full round-3 config list (round 4 dropped two for time; the
+    # round-5 pair-expansion binning runs all five inside one window)
+    for level, res, sigma in (
+        (5, 1024, 1.0), (6, 1024, 1.0), (7, 1024, 1.0), (7, 2048, 1.0), (7, 2048, 0.0),
+    ):
         if (faces_of[level], res, sigma) in done:
             continue
         records.append(run_config(level, res, sigma, iters=5))
