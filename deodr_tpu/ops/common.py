@@ -278,25 +278,35 @@ def _probe_fuse_hint() -> bool:
         import numpy as np
 
         rng = np.random.RandomState(7)
-        tex = jnp.asarray(rng.rand(16, 256, 3).astype(np.float32))
+        tex = rng.rand(16, 256, 3).astype(np.float32)
         # interior + border + exact-integer coordinates, pixel-shaped like a
         # small framebuffer so the gather/scatter structure matches real use
-        p = jnp.asarray(
-            (rng.rand(8, 128, 2) * np.array([257.0, 17.0]) - 1.0).astype(np.float32)
-        )
-        w = jnp.asarray(rng.rand(8, 128, 3).astype(np.float32))
+        p = (rng.rand(8, 128, 2) * np.array([257.0, 17.0]) - 1.0).astype(np.float32)
+        w = rng.rand(8, 128, 3).astype(np.float32)
 
-        def run(force):
+        def run(force, t_in, p_in, w_in):
             def loss(t):
-                s = bilinear_sample(t, p, _force_fuse_hint=force)
-                return jnp.sum(s * w), s
+                s = bilinear_sample(t, p_in, _force_fuse_hint=force)
+                return jnp.sum(s * w_in), s
 
-            (_, s), g = jax.value_and_grad(loss, has_aux=True)(tex)
+            (_, s), g = jax.value_and_grad(loss, has_aux=True)(t_in)
             return s, g
 
+        # the first textured render is usually being TRACED (a jitted loss,
+        # a .lower(), ...): jit-inside-trace binds as an outer-trace
+        # primitive and returns tracers, so the byte comparison below would
+        # throw. AOT lower+compile with ShapeDtypeStructs and execute with
+        # NUMPY arguments — a compiled call with concrete args runs
+        # immediately, independent of any ambient trace.
         try:
-            s_on, g_on = jax.jit(lambda: run(True))()
-            s_off, g_off = jax.jit(lambda: run(False))()
+            structs = tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (tex, p, w))
+
+            def aot(force):
+                fn = jax.jit(lambda t, pp, ww: run(force, t, pp, ww))
+                return fn.lower(*structs).compile()(tex, p, w)
+
+            s_on, g_on = aot(True)
+            s_off, g_off = aot(False)
             same = (
                 np.asarray(s_on).tobytes() == np.asarray(s_off).tobytes()
                 and np.asarray(g_on).tobytes() == np.asarray(g_off).tobytes()
@@ -317,6 +327,34 @@ def _probe_fuse_hint() -> bool:
             )
         _FUSE_HINT_OK = bool(same)
     return _FUSE_HINT_OK
+
+
+@jax.custom_vjp
+def _foot_gather_bitcast(foot: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``foot[idx]`` through a u32 bitcast view — bitwise exact.
+
+    Experiment knob for the in-loop gather emitter form (see
+    ``bilinear_sample``): the f32→bf16→f32 convert-pair hint flips XLA's
+    in-loop footprint gather from ~11.6 to ~2 cycles/row but quantizes
+    texels in grad graphs (round-5 probe); a bitcast view perturbs the same
+    fusion boundary while being a bit-identical no-op in EVERY graph. The
+    backward is the same flat scatter-add XLA's gather transpose emits.
+    """
+    u = jax.lax.bitcast_convert_type(foot, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u[idx], foot.dtype)
+
+
+def _foot_gather_bitcast_fwd(foot, idx):
+    return _foot_gather_bitcast(foot, idx), (idx, foot.shape)
+
+
+def _foot_gather_bitcast_bwd(res, ct):
+    idx, foot_shape = res
+    g = jnp.zeros(foot_shape, ct.dtype).at[idx].add(ct)
+    return g, None
+
+
+_foot_gather_bitcast.defvjp(_foot_gather_bitcast_fwd, _foot_gather_bitcast_bwd)
 
 
 def bilinear_sample(
@@ -383,7 +421,14 @@ def bilinear_sample(
         # re-enables the win automatically. DEODR_NO_TEX_FUSE_HINT=1 forces
         # it off.
         foot = foot.astype(jnp.bfloat16)
-    taps = foot[iv * tw + iu].astype(texture.dtype)  # (..., 4C)
+    idx = iv * tw + iu
+    gather_mode = os.environ.get("DEODR_TEX_GATHER", "plain")
+    if gather_mode == "bitcast" and foot.dtype == jnp.float32:
+        taps = _foot_gather_bitcast(foot, idx)
+    elif gather_mode == "barrier":
+        taps = jax.lax.optimization_barrier(foot)[idx].astype(texture.dtype)
+    else:
+        taps = foot[idx].astype(texture.dtype)  # (..., 4C)
     t00 = taps[..., 0 * c : 1 * c]
     t10 = taps[..., 1 * c : 2 * c]
     t01 = taps[..., 2 * c : 3 * c]

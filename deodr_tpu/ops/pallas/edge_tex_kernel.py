@@ -174,34 +174,28 @@ def _fwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
     cols = jax.lax.broadcasted_iota(jnp.int32, (cfg.win_w, p_n), 0).astype(dtype)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (cfg.win_h, p_n), 0).astype(dtype)
 
-    def body(k, bufs):
-        row = lambda j: table_ref[0, j, k]
-        mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
-        use_tex = row(_e_utex(c)) > 0.5
-        eid = row(_e_eid(c)).astype(jnp.int32)
+    tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
+    count = jnp.minimum(count_ref[0, tile_id], cap)
 
-        def tex_planes():
-            X0, X1, eu, _, Y0, Y1, ev, _ = _soft_onehots(cfg, row, x_p, y_p, cols, rows_i, dtype)
-            X = X0 * (1.0 - eu) + X1 * eu
-            Y = Y0 * (1.0 - ev) + Y1 * ev
-            lum = _affine_plane(row(_e_lc(c)), row(_e_lc(c) + 1), row(_e_lc(c) + 2), yrow, xx)
-            # window stack layout (C·wh, ww): repack to (wh, C·ww) with
-            # static slices and contract ALL channels in ONE MXU issue —
-            # the per-slot loop is matmul-latency bound, not MAC bound
-            t2 = wins_ref[eid]
-            t3 = jnp.concatenate([t2[ch * cfg.win_h : (ch + 1) * cfg.win_h] for ch in range(c)], axis=1)
-            w3 = _dotT(t3, Y)  # (C·win_w, P)
-            planes = []
-            for ch in range(c):
-                sval = jnp.sum(X * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
-                planes.append(sval.reshape(th, tw) * lum)
-            return tuple(planes)
+    def tex_planes_for(row):
+        X0, X1, eu, _, Y0, Y1, ev, _ = _soft_onehots(cfg, row, x_p, y_p, cols, rows_i, dtype)
+        X = X0 * (1.0 - eu) + X1 * eu
+        Y = Y0 * (1.0 - ev) + Y1 * ev
+        lum = _affine_plane(row(_e_lc(c)), row(_e_lc(c) + 1), row(_e_lc(c) + 2), yrow, xx)
+        # window stack layout (C·wh, ww): repack to (wh, C·ww) with
+        # static slices and contract ALL channels in ONE MXU issue —
+        # the per-slot loop is matmul-latency bound, not MAC bound
+        eid = jnp.clip(row(_e_eid(c)).astype(jnp.int32), 0, cfg.n_edges - 1)
+        t2 = wins_ref[eid]
+        t3 = jnp.concatenate([t2[ch * cfg.win_h : (ch + 1) * cfg.win_h] for ch in range(c)], axis=1)
+        w3 = _dotT(t3, Y)  # (C·win_w, P)
+        planes = []
+        for ch in range(c):
+            sval = jnp.sum(X * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
+            planes.append(sval.reshape(th, tw) * lum)
+        return tuple(planes)
 
-        def plain_planes():
-            return tuple(_attr_plane(row, ch, c, yrow, xx) for ch in range(c))
-
-        a = jax.lax.cond(use_tex, tex_planes, plain_planes)
-
+    def blend(bufs, mask, t, a):
         if cfg.error_mode:
             err = jnp.zeros((th, tw), dtype)
             for ch in range(c):
@@ -210,10 +204,52 @@ def _fwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
             return (jnp.where(mask, err + t * (bufs[0] - err), bufs[0]),)
         return tuple(jnp.where(mask, a[ch] + t * (bufs[ch] - a[ch]), bufs[ch]) for ch in range(c))
 
+    def one_slot(k, bufs, force_invalid):
+        row = lambda j: table_ref[0, j, k]
+        mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
+        mask = mask & jnp.logical_not(force_invalid)
+        use_tex = row(_e_utex(c)) > 0.5
+
+        def plain_planes():
+            return tuple(_attr_plane(row, ch, c, yrow, xx) for ch in range(c))
+
+        a = jax.lax.cond(use_tex, lambda: tex_planes_for(row), plain_planes)
+        return blend(bufs, mask, t, a)
+
+    # two slots per iteration: each slot's heavy work (band planes, one-hots
+    # and the small window matmuls) is independent of the painter carry, and
+    # a single slot's chain is matmul-LATENCY bound — pairing lets the VLIW
+    # scheduler interleave two slots' chains, with only the two cheap blends
+    # ordered. The all-textured pair (the common case on textured meshes) is
+    # one straight-line block; mixed/plain pairs take the sequential path.
+    def body2(j, bufs):
+        k0 = 2 * j
+        k1v = k0 + 1
+        valid1 = k1v < count
+        k1 = jnp.minimum(k1v, cap - 1)
+        row0 = lambda jj: table_ref[0, jj, k0]
+        row1 = lambda jj: table_ref[0, jj, k1]
+        use_tex0 = row0(_e_utex(c)) > 0.5
+        use_tex1 = row1(_e_utex(c)) > 0.5
+        fused_ok = use_tex0 & (use_tex1 | jnp.logical_not(valid1))
+
+        def fused(bufs):
+            mask0, t0 = _band_mask_and_t(cfg, row0, yrow, xx, zbuf, width_f)
+            mask1, t1 = _band_mask_and_t(cfg, row1, yrow, xx, zbuf, width_f)
+            mask1 = mask1 & valid1
+            a0 = tex_planes_for(row0)
+            a1 = tex_planes_for(row1)
+            bufs = blend(bufs, mask0, t0, a0)
+            return blend(bufs, mask1, t1, a1)
+
+        def seq(bufs):
+            bufs = one_slot(k0, bufs, jnp.bool_(False))
+            return one_slot(k1, bufs, jnp.logical_not(valid1))
+
+        return jax.lax.cond(fused_ok, fused, seq, bufs)
+
     bufs = tuple(buf_in_ref[ch, :, :] for ch in range(nch))
-    tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
-    count = jnp.minimum(count_ref[0, tile_id], cap)
-    bufs = jax.lax.fori_loop(0, count, body, bufs)
+    bufs = jax.lax.fori_loop(0, (count + 1) // 2, body2, bufs)
     for ch in range(nch):
         buf_out_ref[ch, :, :] = bufs[ch]
 
@@ -249,146 +285,200 @@ def _bwd_kernel(cfg: PallasEdgeTexConfig, count_ref, table_ref, wins_ref, zbuf_r
     def _():
         gwins_ref[...] = jnp.zeros_like(gwins_ref)
 
-    def body(i, carry):
-        k = count - 1 - i
-        bufs, gbufs = carry
-        row = lambda j: table_ref[0, j, k]
+    def heavy_tex(row):
+        """Carry-independent per-slot work: band planes, one-hots, window
+        matmuls and the sample/attribute planes."""
         mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
         rt = 1.0 / _t_div(t)
+        X0, X1, eu, gate_u, Y0, Y1, ev, gate_v = _soft_onehots(cfg, row, x_p, y_p, cols, rows_i, dtype)
+        X = X0 * (1.0 - eu) + X1 * eu
+        Y = Y0 * (1.0 - ev) + Y1 * ev
+        Xd = X1 - X0
+        Yd = Y1 - Y0
+        lum = _affine_plane(row(_e_lc(c)), row(_e_lc(c) + 1), row(_e_lc(c) + 2), yrow, xx)
+        # batched-channel contractions (see forward)
+        eid = jnp.clip(row(_e_eid(c)).astype(jnp.int32), 0, cfg.n_edges - 1)
+        t2 = wins_ref[eid]  # (C·wh, ww)
+        t3 = jnp.concatenate([t2[ch * cfg.win_h : (ch + 1) * cfg.win_h] for ch in range(c)], axis=1)
+        w3 = _dotT(t3, Y)  # (C·ww, P)
+        v3 = _dotN(t2, X)  # (C·wh, P)
+        svals = []
+        a = []
+        for ch in range(c):
+            sval = jnp.sum(X * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
+            svals.append(sval)
+            a.append(sval.reshape(th, tw) * lum)
+        return (mask, t, rt, X, Y, Xd, Yd, gate_u, gate_v, lum, eid, w3, v3, svals, a)
+
+    def apply_tex(k, heavy, carry, valid):
+        """Carry-dependent unblend + gradient chains for one slot whose
+        heavy planes were precomputed. ``valid`` gates the carry update and
+        the scratch write (an invalid slot leaves both untouched)."""
+        bufs, gbufs = carry
+        (mask, t, rt, X, Y, Xd, Yd, gate_u, gate_v, lum, eid, w3, v3, svals, a) = heavy
+        mask = mask & valid
         one_minus_t = 1.0 - t
-        use_tex = row(_e_utex(c)) > 0.5
-        eid = row(_e_eid(c)).astype(jnp.int32)
 
-        def tex_bwd(carry):
-            bufs, gbufs = carry
-            X0, X1, eu, gate_u, Y0, Y1, ev, gate_v = _soft_onehots(cfg, row, x_p, y_p, cols, rows_i, dtype)
-            X = X0 * (1.0 - eu) + X1 * eu
-            Y = Y0 * (1.0 - ev) + Y1 * ev
-            Xd = X1 - X0
-            Yd = Y1 - Y0
-            lum = _affine_plane(row(_e_lc(c)), row(_e_lc(c) + 1), row(_e_lc(c) + 2), yrow, xx)
-            # batched-channel contractions (see forward)
-            t2 = wins_ref[eid]  # (C·wh, ww)
-            t3 = jnp.concatenate([t2[ch * cfg.win_h : (ch + 1) * cfg.win_h] for ch in range(c)], axis=1)
-            w3 = _dotT(t3, Y)  # (C·ww, P)
-            v3 = _dotN(t2, X)  # (C·wh, P)
-            svals = []
-            a = []
+        g_t = jnp.zeros((th, tw), dtype)
+        g_lum = jnp.zeros((th, tw), dtype)
+        gu_p = jnp.zeros((1, p_n), dtype)
+        gv_p = jnp.zeros((1, p_n), dtype)
+        if cfg.error_mode:
+            err = jnp.zeros((th, tw), dtype)
+            diffs = []
             for ch in range(c):
-                sval = jnp.sum(X * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
-                svals.append(sval)
-                a.append(sval.reshape(th, tw) * lum)
-
-            g_t = jnp.zeros((th, tw), dtype)
-            g_lum = jnp.zeros((th, tw), dtype)
-            gu_p = jnp.zeros((1, p_n), dtype)
-            gv_p = jnp.zeros((1, p_n), dtype)
-            if cfg.error_mode:
-                err = jnp.zeros((th, tw), dtype)
-                diffs = []
-                for ch in range(c):
-                    d = a[ch] - obs_ref[ch, :, :]
-                    diffs.append(d)
-                    err = err + d * d
-                before0 = jnp.where(mask, (bufs[0] - err) * rt + err, bufs[0])
-                g_out = gbufs[0]
+                d = a[ch] - obs_ref[ch, :, :]
+                diffs.append(d)
+                err = err + d * d
+            before0 = jnp.where(mask, (bufs[0] - err) * rt + err, bufs[0])
+            g_out = gbufs[0]
+            g_masked = jnp.where(mask, g_out, 0.0)
+            g_t = g_masked * (before0 - err)
+            g_err = g_masked * one_minus_t
+            g_a = [g_err * 2.0 * diffs[ch] for ch in range(c)]
+            new_bufs = (before0,)
+            new_gbufs = (jnp.where(mask, t * g_out, g_out),)
+        else:
+            g_a = []
+            new_bufs = []
+            new_gbufs = []
+            for ch in range(c):
+                before = jnp.where(mask, (bufs[ch] - a[ch]) * rt + a[ch], bufs[ch])
+                g_out = gbufs[ch]
                 g_masked = jnp.where(mask, g_out, 0.0)
-                g_t = g_masked * (before0 - err)
-                g_err = g_masked * one_minus_t
-                g_a = [g_err * 2.0 * diffs[ch] for ch in range(c)]
-                new_bufs = (before0,)
-                new_gbufs = (jnp.where(mask, t * g_out, g_out),)
-            else:
-                g_a = []
-                new_bufs = []
-                new_gbufs = []
-                for ch in range(c):
-                    before = jnp.where(mask, (bufs[ch] - a[ch]) * rt + a[ch], bufs[ch])
-                    g_out = gbufs[ch]
-                    g_masked = jnp.where(mask, g_out, 0.0)
-                    g_t = g_t + g_masked * (before - a[ch])
-                    g_a.append(g_masked * one_minus_t)
-                    new_bufs.append(before)
-                    new_gbufs.append(jnp.where(mask, t * g_out, g_out))
-                new_bufs = tuple(new_bufs)
-                new_gbufs = tuple(new_gbufs)
+                g_t = g_t + g_masked * (before - a[ch])
+                g_a.append(g_masked * one_minus_t)
+                new_bufs.append(before)
+                new_gbufs.append(jnp.where(mask, t * g_out, g_out))
+            new_bufs = tuple(new_bufs)
+            new_gbufs = tuple(new_gbufs)
 
-            yg = []
-            for ch in range(c):
-                g_lum = g_lum + g_a[ch] * svals[ch].reshape(th, tw)
-                gs_p = (g_a[ch] * lum).reshape(1, p_n)  # d/d sval
-                yg.append(Y * gs_p)
-                # uv gradients: dval/du = Σ_c dX·W, dval/dv = Σ_r dY·(T @ X)
-                gu_p = gu_p + gs_p * jnp.sum(Xd * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
-                gv_p = gv_p + gs_p * jnp.sum(Yd * v3[ch * cfg.win_h : (ch + 1) * cfg.win_h], axis=0, keepdims=True)
-            # texture-window gradient for all channels in one contraction:
-            # (Y ∘ gs)·Xᵀ rows stacked channel-major, accumulated per edge
-            gwins_ref[eid] += jax.lax.dot_general(
-                jnp.concatenate(yg, axis=0), X, (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+        yg = []
+        for ch in range(c):
+            g_lum = g_lum + g_a[ch] * svals[ch].reshape(th, tw)
+            gs_p = (g_a[ch] * lum).reshape(1, p_n)  # d/d sval
+            yg.append(Y * gs_p)
+            # uv gradients: dval/du = Σ_c dX·W, dval/dv = Σ_r dY·(T @ X)
+            gu_p = gu_p + gs_p * jnp.sum(Xd * w3[ch * cfg.win_w : (ch + 1) * cfg.win_w], axis=0, keepdims=True)
+            gv_p = gv_p + gs_p * jnp.sum(Yd * v3[ch * cfg.win_h : (ch + 1) * cfg.win_h], axis=0, keepdims=True)
+        # texture-window gradient for all channels in one contraction:
+        # (Y ∘ gs)·Xᵀ rows stacked channel-major, accumulated per edge
+        # (an invalid slot's g_a is all-zero, so this adds zeros)
+        gwins_ref[eid] += jax.lax.dot_general(
+            jnp.concatenate(yg, axis=0), X, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
-            gu = (gu_p * gate_u).reshape(th, tw)
-            gv = (gv_p * gate_v).reshape(th, tw)
-            # per-slot gradient rows (sublane partials; lanes reduced once
-            # per tile after the loop, like the untextured kernel). The g_a
-            # rows are NOT zeroed here: they hold stale values from other
-            # slots/tiles, and the XLA wrapper masks each slot's gradient
-            # columns by its use_texture flag.
-            # TWO lane partials per quantity (sum g, sum g*y); the x-moment
-            # is recovered after the loop (x constant along sublanes)
+        gu = (gu_p * gate_u).reshape(th, tw)
+        gv = (gv_p * gate_v).reshape(th, tw)
+
+        # per-slot gradient rows (sublane partials; lanes reduced once
+        # per tile after the loop, like the untextured kernel). The g_a
+        # rows are NOT zeroed here: they hold stale values from other
+        # slots/tiles, and the XLA wrapper masks each slot's gradient
+        # columns by its use_texture flag.
+        # TWO lane partials per quantity (sum g, sum g*y); the x-moment
+        # is recovered after the loop (x constant along sublanes)
+        @pl.when(valid)
+        def _():
             put_partials(k, 0, g_t)
             put_partials(k, 1 + c, gu)
             put_partials(k, 2 + c, gv)
             put_partials(k, 3 + c, g_lum)
-            return new_bufs, new_gbufs
 
-        def plain_bwd(carry):
-            bufs, gbufs = carry
-            g_t = jnp.zeros((th, tw), dtype)
-            if cfg.error_mode:
-                a = []
-                err = jnp.zeros((th, tw), dtype)
-                for ch in range(c):
-                    a_ch = _attr_plane(row, ch, c, yrow, xx)
-                    a.append(a_ch)
-                    diff = a_ch - obs_ref[ch, :, :]
-                    err = err + diff * diff
-                before0 = jnp.where(mask, (bufs[0] - err) * rt + err, bufs[0])
-                g_out = gbufs[0]
+        return new_bufs, new_gbufs
+
+    def plain_bwd_slot(k, row, mask, t, rt, carry):
+        bufs, gbufs = carry
+        one_minus_t = 1.0 - t
+        g_t = jnp.zeros((th, tw), dtype)
+        if cfg.error_mode:
+            a = []
+            err = jnp.zeros((th, tw), dtype)
+            for ch in range(c):
+                a_ch = _attr_plane(row, ch, c, yrow, xx)
+                a.append(a_ch)
+                diff = a_ch - obs_ref[ch, :, :]
+                err = err + diff * diff
+            before0 = jnp.where(mask, (bufs[0] - err) * rt + err, bufs[0])
+            g_out = gbufs[0]
+            g_masked = jnp.where(mask, g_out, 0.0)
+            g_t = g_masked * (before0 - err)
+            g_err = g_masked * one_minus_t
+            for ch in range(c):
+                g_a = g_err * 2.0 * (a[ch] - obs_ref[ch, :, :])
+                put_partials(k, 1 + ch, g_a)
+            new_bufs = (before0,)
+            new_gbufs = (jnp.where(mask, t * g_out, g_out),)
+        else:
+            new_bufs = []
+            new_gbufs = []
+            for ch in range(c):
+                a_ch = _attr_plane(row, ch, c, yrow, xx)
+                before = jnp.where(mask, (bufs[ch] - a_ch) * rt + a_ch, bufs[ch])
+                g_out = gbufs[ch]
                 g_masked = jnp.where(mask, g_out, 0.0)
-                g_t = g_masked * (before0 - err)
-                g_err = g_masked * one_minus_t
-                for ch in range(c):
-                    g_a = g_err * 2.0 * (a[ch] - obs_ref[ch, :, :])
-                    put_partials(k, 1 + ch, g_a)
-                new_bufs = (before0,)
-                new_gbufs = (jnp.where(mask, t * g_out, g_out),)
-            else:
-                new_bufs = []
-                new_gbufs = []
-                for ch in range(c):
-                    a_ch = _attr_plane(row, ch, c, yrow, xx)
-                    before = jnp.where(mask, (bufs[ch] - a_ch) * rt + a_ch, bufs[ch])
-                    g_out = gbufs[ch]
-                    g_masked = jnp.where(mask, g_out, 0.0)
-                    g_t = g_t + g_masked * (before - a_ch)
-                    g_a = g_masked * one_minus_t
-                    put_partials(k, 1 + ch, g_a)
-                    new_bufs.append(before)
-                    new_gbufs.append(jnp.where(mask, t * g_out, g_out))
-                new_bufs = tuple(new_bufs)
-                new_gbufs = tuple(new_gbufs)
-            # uv/lum rows left stale (masked by ~use_texture in the wrapper)
-            put_partials(k, 0, g_t)
-            return new_bufs, new_gbufs
+                g_t = g_t + g_masked * (before - a_ch)
+                g_a = g_masked * one_minus_t
+                put_partials(k, 1 + ch, g_a)
+                new_bufs.append(before)
+                new_gbufs.append(jnp.where(mask, t * g_out, g_out))
+            new_bufs = tuple(new_bufs)
+            new_gbufs = tuple(new_gbufs)
+        # uv/lum rows left stale (masked by ~use_texture in the wrapper)
+        put_partials(k, 0, g_t)
+        return new_bufs, new_gbufs
 
-        return jax.lax.cond(use_tex, tex_bwd, plain_bwd, (bufs, gbufs))
+    def one_slot_bwd(k, carry, valid):
+        row = lambda j: table_ref[0, j, k]
+        use_tex = row(_e_utex(c)) > 0.5
+
+        def tex_branch(carry):
+            return apply_tex(k, heavy_tex(row), carry, valid)
+
+        def plain_branch(carry):
+            mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
+            mask = mask & valid
+
+            def do(carry):
+                rt = 1.0 / _t_div(t)
+                return plain_bwd_slot(k, row, mask, t, rt, carry)
+
+            # an invalid slot must not touch the carry or scratch rows
+            return jax.lax.cond(valid, do, lambda cr: cr, carry)
+
+        return jax.lax.cond(use_tex, tex_branch, plain_branch, carry)
+
+    # paired reverse loop: slot pair (k0, k0−1), processed k0 first (exact
+    # reverse of the forward painter order); the heavy per-slot work is
+    # carry-independent and interleaves across the pair (see forward)
+    def body2(i, carry):
+        k0 = count - 1 - 2 * i
+        k1v = k0 - 1
+        valid1 = k1v >= 0
+        k1 = jnp.maximum(k1v, 0)
+        row0 = lambda jj: table_ref[0, jj, k0]
+        row1 = lambda jj: table_ref[0, jj, k1]
+        use_tex0 = row0(_e_utex(c)) > 0.5
+        use_tex1 = row1(_e_utex(c)) > 0.5
+        fused_ok = use_tex0 & (use_tex1 | jnp.logical_not(valid1))
+
+        def fused(carry):
+            h0 = heavy_tex(row0)
+            h1 = heavy_tex(row1)
+            carry = apply_tex(k0, h0, carry, jnp.bool_(True))
+            return apply_tex(k1, h1, carry, valid1)
+
+        def seq(carry):
+            carry = one_slot_bwd(k0, carry, jnp.bool_(True))
+            return one_slot_bwd(k1, carry, valid1)
+
+        return jax.lax.cond(fused_ok, fused, seq, carry)
 
     bufs = tuple(buf_final_ref[ch, :, :] for ch in range(nch))
     gbufs = tuple(gbuf_in_ref[ch, :, :] for ch in range(nch))
-    bufs, gbufs = jax.lax.fori_loop(0, count, body, (bufs, gbufs))
+    bufs, gbufs = jax.lax.fori_loop(0, (count + 1) // 2, body2, (bufs, gbufs))
     for ch in range(nch):
         gbuf0_ref[ch, :, :] = gbufs[ch]
     # finish the deferred lane reductions: quantity q yields gradient-row
