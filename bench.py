@@ -103,7 +103,7 @@ def main():
         bucket_mode="exact",
     )
     assert tiling.tile_h == 48, f"planner auto-pick changed: {tiling}"
-    def measure(sigma, chain=400):
+    def measure(sigma, chain=400, chain2=None):
         def loss(ij, colors):
             b = dataclasses.replace(scene, ij=ij, colors=colors)
             img, _, _ = render_scene(
@@ -117,42 +117,68 @@ def main():
         # steps per dispatch (each step depends on the previous one's
         # gradients) so the measurement reflects device throughput rather
         # than the host->TPU tunnel's per-dispatch latency
-        @jax.jit
-        def run(ij, colors):
-            def step(carry, _):
-                ij, colors = carry
-                v, (gij, gc) = vg(ij, colors)
-                return (ij - 1e-9 * gij, colors - 1e-9 * gc), v
+        def make_run(n):
+            @jax.jit
+            def run(ij, colors):
+                def step(carry, _):
+                    ij, colors = carry
+                    v, (gij, gc) = vg(ij, colors)
+                    return (ij - 1e-9 * gij, colors - 1e-9 * gc), v
 
-            (ij, colors), vs = jax.lax.scan(step, (ij, colors), None, length=chain)
-            return ij, colors, vs
+                (ij, colors), vs = jax.lax.scan(step, (ij, colors), None, length=n)
+                return ij, colors, vs
 
+            return run
+
+        def best_of(run, n, ij_r, colors_r, reps=3):
+            # best-of-reps: the tunnel between host and TPU adds multi-ms
+            # per-dispatch latency with high variance; the best rep is
+            # closest to the device throughput a local deployment sees.
+            # Each rep feeds the previous rep's updated params back in: the
+            # runtime memoizes IDENTICAL repeated dispatches (measured
+            # 0.03 ms for a ~100 ms workload in tools/size_sweep.py before
+            # the same fix)
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                out = run(ij_r, colors_r)
+                jax.block_until_ready(out)
+                dt = (time.time() - t0) / n
+                ij_r, colors_r = out[0], out[1]
+                best = dt if best is None else min(best, dt)
+            return best, ij_r, colors_r
+
+        run = make_run(chain)
         out = run(scene.ij, scene.colors)
         jax.block_until_ready(out)
-        # best-of-3: the tunnel between host and TPU adds multi-ms
-        # per-dispatch latency with high variance; the best rep is closest
-        # to the device throughput a local deployment sees. Each rep feeds
-        # the previous rep's updated params back in: the runtime memoizes
-        # IDENTICAL repeated dispatches (measured 0.03 ms for a ~100 ms
-        # workload in tools/size_sweep.py before the same fix)
-        ij_r, colors_r = out[0], out[1]
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            out = run(ij_r, colors_r)
-            jax.block_until_ready(out)
-            dt = (time.time() - t0) / chain
-            ij_r, colors_r = out[0], out[1]
-            best = dt if best is None else min(best, dt)
-        return height * width / best / 1e6
+        t_per, ij_r, colors_r = best_of(run, chain, out[0], out[1])
+        mpix = height * width / t_per / 1e6
+        if chain2 is None:
+            return mpix, None
+        # chain-length differencing separates the per-step DEVICE cost from
+        # the fixed per-dispatch (tunnel) overhead: T(n) = F + n·d, so
+        # d = (T(n2) − T(n1)) / (n2 − n1). Reported so the wall number can
+        # be judged against what the hardware actually sustains.
+        run2 = make_run(chain2)
+        out2 = run2(ij_r, colors_r)
+        jax.block_until_ready(out2)
+        t2_per, _, _ = best_of(run2, chain2, out2[0], out2[1], reps=2)
+        d_step = (t2_per * chain2 - t_per * chain) / (chain2 - chain)
+        mpix_dev = height * width / d_step / 1e6 if d_step > 0 else mpix
+        return mpix, mpix_dev
 
     # primary: the reference microbenchmark's configuration (sigma=0), with
-    # gradients added; secondary: edge-antialiased (sigma=1)
-    mpix_s0 = measure(0.0)
-    mpix_s1 = measure(1.0)
+    # gradients added; secondary: edge-antialiased (sigma=1). The sigma=1
+    # wall number chains 1600 steps per dispatch so the tunnel's fixed
+    # per-dispatch latency (~30 ms/dispatch in this environment; absent on
+    # a directly-attached chip) stays under ~5% of the measurement; the
+    # device-only rate comes from chain-length differencing.
+    mpix_s0, _ = measure(0.0)
+    mpix_s1, mpix_s1_dev = measure(1.0, chain=1600, chain2=400)
     print(
         f"sigma=1 (edge AA): {mpix_s1:.2f} Mpix/s/chip fwd+bwd "
-        f"(vs single-core C {BASELINE_FWDBWD_MPIX_S_SIGMA1}: {mpix_s1 / BASELINE_FWDBWD_MPIX_S_SIGMA1:.2f}x)",
+        f"(device-only {mpix_s1_dev:.1f}; "
+        f"vs single-core C {BASELINE_FWDBWD_MPIX_S_SIGMA1}: {mpix_s1 / BASELINE_FWDBWD_MPIX_S_SIGMA1:.2f}x)",
         file=sys.stderr,
     )
 
@@ -160,10 +186,14 @@ def main():
     # full gradients incl. texture) — the reference C++ core on the same
     # 2.5D scene takes 12.6 ms/iter fwd+bwd (tools/duck_baseline.cpp).
     # Captured here so the driver records it, not only the docs.
-    duck_ms = None
+    duck_ms = duck_dev_ms = None
     try:
-        duck_ms = measure_duck()
-        print(f"duck sigma=1 fwd+bwd: {duck_ms:.2f} ms/iter (reference C core: 12.6)", file=sys.stderr)
+        duck_ms, duck_dev_ms = measure_duck()
+        print(
+            f"duck sigma=1 fwd+bwd: {duck_ms:.2f} ms/iter wall, "
+            f"{duck_dev_ms:.2f} device (reference C core: 12.6)",
+            file=sys.stderr,
+        )
     except Exception as e:  # pragma: no cover - keep the primary metric alive
         print(f"duck bench skipped: {e!r}", file=sys.stderr)
 
@@ -184,10 +214,15 @@ def main():
         "value": round(mpix_s0, 2),
         "unit": "Mpix/s/chip",
         "vs_baseline": round(mpix_s0 / BASELINE_FWDBWD_MPIX_S_SIGMA0, 2),
+        "sigma1_mpix_s": round(mpix_s1, 1),
+        "sigma1_device_mpix_s": round(mpix_s1_dev, 1) if mpix_s1_dev else None,
+        "sigma1_wall_over_device": round(mpix_s1 / mpix_s1_dev, 3) if mpix_s1_dev else None,
     }
     if duck_ms is not None:
         record["duck_sigma1_ms"] = round(duck_ms, 2)
         record["duck_ref_cpp_ms"] = 12.6
+        if duck_dev_ms is not None:
+            record["duck_sigma1_device_ms"] = round(duck_dev_ms, 2)
     # texture fuse-hint bitwise fold probe (ops/common.py::_probe_fuse_hint):
     # False means XLA stopped folding the f32->bf16->f32 pair — the hint was
     # auto-disabled (loud warning) instead of quantizing texels, and the
@@ -247,9 +282,17 @@ def measure_shardmap_1dev(scene, tiling, iters: int = 20) -> float:
     return best
 
 
-def measure_duck(iters: int = 20) -> float:
+def measure_duck(iters: int = 100, iters2: int = 20):
     """Duck-scene σ=1 fwd+bwd ms/iter, dependency-chained on device
-    (condensed tools/duck_tpu_bench.py)."""
+    (condensed tools/duck_tpu_bench.py).
+
+    Chains ``iters`` steps per dispatch — like a fitting loop, whose steps
+    are fully jitted — so the tunnel's fixed per-dispatch latency
+    (~30 ms/dispatch here, absent on a directly-attached chip) is amortized
+    to <5% of the number; the returned (wall_ms, device_ms) pair separates
+    the two via chain-length differencing (T(n) = F + n·d). Round 4
+    measured with iters=20, which carried ~1.4 ms/iter of tunnel overhead.
+    """
     import os
 
     import jax
@@ -289,21 +332,37 @@ def measure_duck(iters: int = 20) -> float:
         )(params)
         return jax.tree.map(lambda p, g: p - 1e-12 * g, params, grads), loss
 
-    @jax.jit
-    def chained(params):
-        return jax.lax.scan(lambda p, _: one_step(p), params, None, length=iters)
+    def make_chained(n):
+        @jax.jit
+        def chained(params):
+            return jax.lax.scan(lambda p, _: one_step(p), params, None, length=n)
 
+        return chained
+
+    def best_of(fn, n, params, reps=3):
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            params, _ = fn(params)  # feed back: identical dispatches memoize
+            jax.block_until_ready(params)
+            dt = (time.time() - t0) / n * 1e3
+            best = dt if best is None else min(best, dt)
+        return best, params
+
+    chained = make_chained(iters)
     params0 = (buffers.ij, buffers.uv, buffers.shade, buffers.texture)
     params, _ = chained(params0)
     jax.block_until_ready(params)
-    best = None
-    for _ in range(3):
-        t0 = time.time()
-        params, _ = chained(params)  # feed back: identical dispatches memoize
-        jax.block_until_ready(params)
-        dt = (time.time() - t0) / iters * 1e3
-        best = dt if best is None else min(best, dt)
-    return best
+    wall_ms, params = best_of(chained, iters, params)
+    device_ms = None
+    if iters2 and iters2 != iters:
+        chained2 = make_chained(iters2)
+        params2, _ = chained2(params)
+        jax.block_until_ready(params2)
+        t2, _ = best_of(chained2, iters2, params2, reps=2)
+        d = (wall_ms * iters - t2 * iters2) / (iters - iters2)
+        device_ms = d if d > 0 else wall_ms
+    return wall_ms, device_ms
 
 
 def main_large():

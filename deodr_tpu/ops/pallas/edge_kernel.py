@@ -158,26 +158,43 @@ def _fwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
     zbuf = zbuf_ref[:, :]
     width_f = float(cfg.n_tx * tw)
 
-    def body(k, bufs):
+    tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
+    count = jnp.minimum(count_ref[0, tile_id], cap)
+
+    def slot_planes(k, force_invalid):
+        """Carry-independent per-slot work: band mask, ramp, blend planes."""
         row = lambda j: table_ref[0, j, k]
         mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
+        mask = mask & jnp.logical_not(force_invalid)
         if cfg.error_mode:
             err = jnp.zeros((th, tw), dtype)
             for ch in range(c):
                 diff = _attr_plane(row, ch, c, yrow, xx) - obs_ref[ch, :, :]
                 err = err + diff * diff
-            # t·buf + (1−t)·err rewritten as err + t·(buf − err): 2 ops/px
-            return (jnp.where(mask, err + t * (bufs[0] - err), bufs[0]),)
-        new = []
-        for ch in range(c):
-            a_ch = _attr_plane(row, ch, c, yrow, xx)
-            new.append(jnp.where(mask, a_ch + t * (bufs[ch] - a_ch), bufs[ch]))
-        return tuple(new)
+            return mask, t, (err,)
+        return mask, t, tuple(_attr_plane(row, ch, c, yrow, xx) for ch in range(c))
+
+    def blend(bufs, mask, t, a):
+        # t·buf + (1−t)·a rewritten as a + t·(buf − a): 2 ops/px
+        return tuple(
+            jnp.where(mask, a[ch] + t * (bufs[ch] - a[ch]), bufs[ch]) for ch in range(nch)
+        )
+
+    # two slots per iteration: a single slot's chain is dependency-latency
+    # bound; pairing interleaves two slots' carry-free plane work, with only
+    # the two cheap painter blends ordered
+    def body2(j, bufs):
+        k0 = 2 * j
+        k1v = k0 + 1
+        valid1 = k1v < count
+        k1 = jnp.minimum(k1v, cap - 1)
+        mask0, t0, a0 = slot_planes(k0, jnp.bool_(False))
+        mask1, t1, a1 = slot_planes(k1, jnp.logical_not(valid1))
+        bufs = blend(bufs, mask0, t0, a0)
+        return blend(bufs, mask1, t1, a1)
 
     bufs = tuple(buf_in_ref[ch, :, :] for ch in range(nch))
-    tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
-    count = jnp.minimum(count_ref[0, tile_id], cap)
-    bufs = jax.lax.fori_loop(0, count, body, bufs)
+    bufs = jax.lax.fori_loop(0, (count + 1) // 2, body2, bufs)
     for ch in range(nch):
         buf_out_ref[ch, :, :] = bufs[ch]
 
@@ -200,13 +217,22 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
 
     nq = 1 + c  # gradient quantities: t plus one attribute row per channel
 
-    def body(i, carry):
-        k = count - 1 - i
-        bufs, gbufs = carry
+    def heavy(k, force_invalid):
+        """Carry-independent per-slot work: band mask, ramp, attr planes."""
         row = lambda j: table_ref[0, j, k]
         mask, t = _band_mask_and_t(cfg, row, yrow, xx, zbuf, width_f)
+        mask = mask & jnp.logical_not(force_invalid)
         # one reciprocal per slot; unblend (buf − (1−t)a)/t ≡ (buf − a)·rt + a
         rt = 1.0 / _t_div(t)
+        a = tuple(_attr_plane(row, ch, c, yrow, xx) for ch in range(c))
+        return mask, t, rt, a
+
+    def apply_slot(k, hv, carry, valid):
+        """Carry-dependent unblend + gradient chains; ``valid`` gates the
+        carry update (via the mask) and the scratch write."""
+        bufs, gbufs = carry
+        mask, t, rt, a = hv
+        mask = mask & valid
         one_minus_t = 1.0 - t
 
         # Per-slot reductions store only TWO lane partials per quantity —
@@ -216,13 +242,9 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
         # reductions run once per tile after the loop.
         ga_parts = []
         if cfg.error_mode:
-            a = []
             err = jnp.zeros((th, tw), dtype)
             for ch in range(c):
-                a_ch = _attr_plane(row, ch, c, yrow, xx)
-                a.append(a_ch)
-                diff = a_ch - obs_ref[ch, :, :]
-                err = err + diff * diff
+                err = err + (a[ch] - obs_ref[ch, :, :]) ** 2
             before0 = jnp.where(mask, (bufs[0] - err) * rt + err, bufs[0])
             g_out = gbufs[0]
             g_masked = jnp.where(mask, g_out, 0.0)
@@ -239,11 +261,10 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
             new_bufs = []
             new_gbufs = []
             for ch in range(c):
-                a_ch = _attr_plane(row, ch, c, yrow, xx)
-                before = jnp.where(mask, (bufs[ch] - a_ch) * rt + a_ch, bufs[ch])
+                before = jnp.where(mask, (bufs[ch] - a[ch]) * rt + a[ch], bufs[ch])
                 g_out = gbufs[ch]
                 g_masked = jnp.where(mask, g_out, 0.0)
-                g_t = g_t + g_masked * (before - a_ch)
+                g_t = g_t + g_masked * (before - a[ch])
                 g_a = g_masked * one_minus_t
                 ga_parts.append(jnp.sum(g_a, axis=0))
                 ga_parts.append(jnp.sum(g_a * yrow, axis=0))
@@ -253,12 +274,28 @@ def _bwd_kernel(cfg: PallasEdgeConfig, count_ref, table_ref, zbuf_ref, obs_ref, 
             new_gbufs = tuple(new_gbufs)
 
         parts = [jnp.sum(g_t, axis=0), jnp.sum(g_t * yrow, axis=0)] + ga_parts
-        scratch_ref[pl.ds(k, 1), :, :] = jnp.stack(parts)[None]  # (1, 2·nq, tw)
+
+        @pl.when(valid)
+        def _():
+            scratch_ref[pl.ds(k, 1), :, :] = jnp.stack(parts)[None]  # (1, 2·nq, tw)
+
         return new_bufs, new_gbufs
+
+    # paired reverse loop (see the forward kernel): slot pair (k0, k0−1),
+    # processed k0 first — the exact reverse of the forward painter order
+    def body2(i, carry):
+        k0 = count - 1 - 2 * i
+        k1v = k0 - 1
+        valid1 = k1v >= 0
+        k1 = jnp.maximum(k1v, 0)
+        h0 = heavy(k0, jnp.bool_(False))
+        h1 = heavy(k1, jnp.logical_not(valid1))
+        carry = apply_slot(k0, h0, carry, jnp.bool_(True))
+        return apply_slot(k1, h1, carry, valid1)
 
     bufs = tuple(buf_final_ref[ch, :, :] for ch in range(nch))
     gbufs = tuple(gbuf_in_ref[ch, :, :] for ch in range(nch))
-    bufs, gbufs = jax.lax.fori_loop(0, count, body, (bufs, gbufs))
+    bufs, gbufs = jax.lax.fori_loop(0, (count + 1) // 2, body2, (bufs, gbufs))
     for ch in range(nch):
         gbuf0_ref[ch, :, :] = gbufs[ch]
     # finish the deferred lane reductions for all slots at once: quantity q

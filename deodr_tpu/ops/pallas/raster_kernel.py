@@ -142,20 +142,39 @@ def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_
     tile_id = pl.program_id(0) * cfg.n_tx + pl.program_id(1)
     count = jnp.minimum(count_ref[0, tile_id], cap)
 
-    def body(k, carry):
-        best_z, best_slot, vals = carry
+    def slot_planes(k, force_invalid):
+        """Carry-independent per-slot work: coverage, depth, attr planes."""
         row = lambda j: setup_ref[0, j, k]
         cov, z = _coverage_and_z(cfg, row, yrow, xx)
+        cov = cov & jnp.logical_not(force_invalid)
+        vk = []
+        for j in range(d):
+            v_y = affine_ref[0, d + j, k] * yrow + affine_ref[0, 2 * d + j, k]  # (th, 1)
+            vk.append(affine_ref[0, j, k] * xx + v_y)
+        return cov, z, vk
+
+    def winner_update(carry, k, cov, z, vk):
+        best_z, best_slot, vals = carry
         z_eff = jnp.where(cov, z, big)
         better = z_eff < best_z
         best_z = jnp.where(better, z_eff, best_z)
         best_slot = jnp.where(better, k, best_slot)
-        new_vals = []
-        for j in range(d):
-            v_y = affine_ref[0, d + j, k] * yrow + affine_ref[0, 2 * d + j, k]  # (th, 1)
-            vk = affine_ref[0, j, k] * xx + v_y
-            new_vals.append(jnp.where(better, vk, vals[j]))
-        return best_z, best_slot, tuple(new_vals)
+        new_vals = tuple(jnp.where(better, vk[j], vals[j]) for j in range(d))
+        return best_z, best_slot, new_vals
+
+    # two slots per iteration: the heavy per-slot planes are carry-free and
+    # interleave on the VLIW scheduler (the single-slot chain is dependency-
+    # latency bound); the two winner updates stay ordered, preserving the
+    # strict-< tie semantics (lowest slot wins) exactly
+    def body2(jj, carry):
+        k0 = 2 * jj
+        k1v = k0 + 1
+        valid1 = k1v < count
+        k1 = jnp.minimum(k1v, cap - 1)
+        cov0, z0, vk0 = slot_planes(k0, jnp.bool_(False))
+        cov1, z1, vk1 = slot_planes(k1, jnp.logical_not(valid1))
+        carry = winner_update(carry, k0, cov0, z0, vk0)
+        return winner_update(carry, k1, cov1, z1, vk1)
 
     init = (
         jnp.full((th, tw), big),
@@ -164,7 +183,7 @@ def _fwd_kernel(cfg: PallasRasterConfig, count_ref, setup_ref, affine_ref, slot_
     )
     # dynamic trip count: compute scales with the tile's actual occupancy,
     # not the worst-case capacity
-    best_z, best_slot, vals = jax.lax.fori_loop(0, count, body, init)
+    best_z, best_slot, vals = jax.lax.fori_loop(0, (count + 1) // 2, body2, init)
     slot_ref[:, :] = best_slot
     z_ref[:, :] = best_z
     for j in range(d):
@@ -184,17 +203,32 @@ def _bwd_kernel(cfg: PallasRasterConfig, count_ref, slot_ref, gvals_ref, gtable_
     # along sublanes), recovered from the plain partial after the loop.
     gy = tuple(gvals_ref[j, :, :] * yrow for j in range(d))
 
-    def body(k, _):
-        mask = (best_slot == k).astype(dtype)
+    def put_slot(k, mask):
         # TWO sublane partials per attribute — Σ_y g and Σ_y g·y; cross-lane
         # reductions and the x moment happen once per tile after the loop
         for j in range(d):
             scratch_ref[k, j, :] = jnp.sum(gvals_ref[j, :, :] * mask, axis=0)
             scratch_ref[k, d + j, :] = jnp.sum(gy[j] * mask, axis=0)
+
+    # carry-free loop: pair slots for ILP (see forward); the odd tail slot's
+    # write is guarded so it cannot clobber a real row
+    def body2(jj, _):
+        k0 = 2 * jj
+        k1v = k0 + 1
+        valid1 = k1v < count
+        k1 = jnp.minimum(k1v, cap - 1)
+        mask0 = (best_slot == k0).astype(dtype)
+        mask1 = (best_slot == k1).astype(dtype)
+        put_slot(k0, mask0)
+
+        @pl.when(valid1)
+        def _():
+            put_slot(k1, mask1)
+
         return 0
 
     # rows >= count stay uninitialized; the XLA wrapper masks them out
-    jax.lax.fori_loop(0, count, body, 0)
+    jax.lax.fori_loop(0, (count + 1) // 2, body2, 0)
     x_lane = (pl.program_id(1) * tw + jax.lax.broadcasted_iota(jnp.int32, (1, tw), 1)).astype(dtype)
     cols = []
     for j in range(d):

@@ -555,19 +555,31 @@ def split_edges(
         tt = t.reshape(t.shape + (1,) * extra)
         return jnp.where(tt == 0.0, a0, jnp.where(tt == 1.0, a1, a0 + tt * (a1 - a0)))
 
-    def expand(a0, a1):
-        # (E, ...) pairs → (E*S, ...) segment endpoints
-        a0b = jnp.broadcast_to(a0[:, None], (e, n_split) + a0.shape[1:])
-        s0 = lerp(a0b, jnp.broadcast_to(a1[:, None], a0b.shape), t0)
-        s1 = lerp(a0b, jnp.broadcast_to(a1[:, None], a0b.shape), t1)
-        flat = lambda x: x.reshape((e * n_split,) + a0.shape[1:])
-        return flat(s0), flat(s1)
-
-    v0s, v1s = expand(edges.v0, edges.v1)
-    z0s, z1s = expand(edges.z[:, 0], edges.z[:, 1])
-    a0s, a1s = expand(edges.attrs[:, 0], edges.attrs[:, 1])
-    u0s, u1s = expand(edges.uvs[:, 0], edges.uvs[:, 1])
-    s0s, s1s = expand(edges.shades[:, 0], edges.shades[:, 1])
+    # ONE fused lerp over all endpoint attributes: the per-attribute expand
+    # used to emit ~10 small (E, S, ...) where-chains plus their adjoints —
+    # a measurable slice of the per-iteration op-count tail on the device
+    # (each sub-2 µs op still pays fixed issue cost). Concatenate the
+    # per-endpoint columns [v (2) | z (1) | attrs (C) | uv (2) | shade (1)]
+    # into one (E, D) matrix, lerp once, slice back out.
+    nb_c = edges.attrs.shape[-1]
+    cat0 = jnp.concatenate(
+        [edges.v0, edges.z[:, 0:1], edges.attrs[:, 0], edges.uvs[:, 0], edges.shades[:, 0:1]],
+        axis=1,
+    )
+    cat1 = jnp.concatenate(
+        [edges.v1, edges.z[:, 1:2], edges.attrs[:, 1], edges.uvs[:, 1], edges.shades[:, 1:2]],
+        axis=1,
+    )
+    d = cat0.shape[1]
+    c0b = jnp.broadcast_to(cat0[:, None], (e, n_split, d))
+    c1b = jnp.broadcast_to(cat1[:, None], (e, n_split, d))
+    s0 = lerp(c0b, c1b, t0).reshape(e * n_split, d)
+    s1 = lerp(c0b, c1b, t1).reshape(e * n_split, d)
+    v0s, v1s = s0[:, 0:2], s1[:, 0:2]
+    z0s, z1s = s0[:, 2], s1[:, 2]
+    a0s, a1s = s0[:, 3 : 3 + nb_c], s1[:, 3 : 3 + nb_c]
+    u0s, u1s = s0[:, 3 + nb_c : 5 + nb_c], s1[:, 3 + nb_c : 5 + nb_c]
+    s0s, s1s = s0[:, 5 + nb_c], s1[:, 5 + nb_c]
     return EdgeData(
         v0=v0s,
         v1=v1s,

@@ -219,7 +219,8 @@ def main():
     # the per-view work a textured multiview fit does on each chip
     import bench
 
-    step_tex = bench.measure_duck() / 1e3
+    duck_wall_ms, duck_dev_ms = bench.measure_duck()
+    step_tex = (duck_dev_ms or duck_wall_ms) / 1e3
     results["textured"]["step_ms_1dev"] = round(step_tex * 1e3, 3)
 
     # tiers × payloads
