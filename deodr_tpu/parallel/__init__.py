@@ -2,8 +2,14 @@
 
 from deodr_tpu.parallel.sharding import (
     make_device_mesh,
+    make_textured_multiview_step,
     multiview_train_step,
     shard_render_scene,
 )
 
-__all__ = ["make_device_mesh", "multiview_train_step", "shard_render_scene"]
+__all__ = [
+    "make_device_mesh",
+    "make_textured_multiview_step",
+    "multiview_train_step",
+    "shard_render_scene",
+]

@@ -259,3 +259,99 @@ def multiview_train_step(params, obs_batch, extrinsics, intrinsics, static, mesh
     """One-shot convenience wrapper around :func:`make_multiview_train_step`
     (recompiles per call — build the step once for loops)."""
     return make_multiview_train_step(static, mesh, lr)(params, obs_batch, extrinsics, intrinsics)
+
+
+def make_textured_multiview_step(
+    buffers: SceneBuffers,
+    sigma: float,
+    mesh: Mesh,
+    lr: float = 1e-12,
+    aa_edge_capacity=None,
+    tiling=None,
+    impl=None,
+    aa_window=None,
+    aa_tex_window=None,
+    aa_tex_plan=None,
+    impl_interpret: bool = False,
+):
+    """View-sharded fitting step for TEXTURED scenes (the duck /
+    eigen-faces class): the texture atlas, uv and Gouraud shade are shared
+    parameters, the per-view projected vertices ``ij`` and observations
+    are sharded over the ``views`` mesh axis.
+
+    Implemented with ``shard_map`` + an explicit ``psum`` of the FINAL
+    shared-parameter gradients, not ``jit`` auto-sharding: the
+    auto-sharded lowering of the same step all-reduces the bilinear
+    footprint-table cotangent BEFORE the atlas un-build — a
+    (tex_h·tex_w, 4C) payload, 12.6 MB/step for a 512² RGB atlas, on top
+    of the 3.1 MB atlas gradient (16.1 MB total, measured from the
+    compiled HLO; SCALING_r05.json). Under shard_map each device finishes
+    its local backward to the (tex_h, tex_w, C) atlas gradient and the
+    ring carries exactly texture+uv+shade grads + the scalar loss
+    (~3.2 MB) — a 5× cut in the DCN stress case's payload. This is the
+    view-parallel generalization of the reference's sequential multi-frame
+    accumulation (reference: deodr/mesh_fitter.py:529-549) for its
+    texture-fitting surface (reference: ``renderScene_B``'s texture_b /
+    uv_b / shade_b outputs).
+
+    params: dict(texture (th, tw, C), uv (N, 2), shade (N,)).
+    ij_batch: (F, N, 2) per-view projected vertices, F a multiple of the
+    ``views`` axis size; obs_batch: (F, H, W, C).
+
+    Returns ``step(params, ij_batch, obs_batch) -> (params, loss)``
+    (jitted; build once and reuse). ``check_vma`` stays off: the Pallas
+    kernels' vma propagation gap (see make_tile_sharded_render) applies
+    here too; the sharded-vs-sequential equivalence test in
+    tests/test_parallel.py is the safety net.
+    """
+    from deodr_tpu.ops.render import default_impl
+
+    if impl is None:
+        impl = default_impl()
+    n_views = mesh.shape["views"]
+    view_sharded = NamedSharding(mesh, P("views"))
+    replicated = NamedSharding(mesh, P())
+
+    def local_loss(params, ij_batch, obs_batch):
+        def one(ij, obs):
+            b = dataclasses.replace(
+                buffers, ij=ij, texture=params["texture"], uv=params["uv"], shade=params["shade"]
+            )
+            img, _, _ = render_scene(
+                b, sigma, aa_edge_capacity=aa_edge_capacity, tiling=tiling, impl=impl,
+                aa_window=aa_window, aa_tex_window=aa_tex_window, aa_tex_plan=aa_tex_plan,
+                impl_interpret=impl_interpret,
+            )
+            return jnp.sum((img - obs) ** 2)
+
+        return jnp.sum(jax.vmap(one)(ij_batch, obs_batch))
+
+    def shard_step(params, ij_batch, obs_batch):
+        loss, grads = jax.value_and_grad(local_loss)(params, ij_batch, obs_batch)
+        # the ONLY cross-device traffic: final shared-param grads + loss
+        grads = jax.lax.psum(grads, "views")
+        loss = jax.lax.psum(loss, "views")
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    sharded = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P("views"), P("views")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step_jit(params, ij_batch, obs_batch):
+        return sharded(params, ij_batch, obs_batch)
+
+    def step(params, ij_batch, obs_batch):
+        assert ij_batch.shape[0] % n_views == 0, (ij_batch.shape, n_views)
+        params = jax.device_put(params, replicated)
+        ij_batch = jax.device_put(ij_batch, view_sharded)
+        obs_batch = jax.device_put(obs_batch, view_sharded)
+        return step_jit(params, ij_batch, obs_batch)
+
+    step.step_jit = step_jit  # exposed for HLO payload inspection (tools/)
+    return step

@@ -59,7 +59,7 @@ def test_bin_boxes_matches_dense():
     s0, v0, c0 = _bin_to_tiles(x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, 8, 128, 64)
     s1, v1, c1 = _bin_boxes(
         HIER._replace(super_capacity=n), x_lo, x_hi, y_lo, y_hi, valid, n_ty, n_tx, 64
-    )
+    )[:3]
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     # compare only valid slots (invalid slots hold arbitrary indices)

@@ -292,3 +292,54 @@ def test_multiframe_fitter_view_sharded_matches_sequential():
     np.testing.assert_allclose(par.transform_quaternion, seq.transform_quaternion, atol=1e-12)
     np.testing.assert_allclose(par.mesh_color, seq.mesh_color, atol=1e-12)
     np.testing.assert_allclose(par.light_directional, seq.light_directional, atol=1e-12)
+
+
+def test_textured_multiview_step_matches_sequential():
+    """The shard_map textured-multiview step (shared texture/uv/shade
+    params, view-sharded ij/obs, explicit psum of ONLY the final shared
+    gradients — the SCALING_r05 payload mitigation) must match a
+    sequentially-accumulated step. Parallelizes the reference's
+    texture-fitting surface (renderScene_B's texture_b/uv_b/shade_b)
+    across views."""
+    import dataclasses as _dc
+
+    from deodr_tpu.ops.render import render_scene
+    from deodr_tpu.parallel.sharding import make_device_mesh, make_textured_multiview_step
+
+    buffers = _production_scene()
+    n_views, cap, lr = 8, 192, 1e-6
+    rng = np.random.RandomState(3)
+    ij0 = np.asarray(buffers.ij)
+    ij_batch = jnp.asarray(ij0[None] + rng.randn(n_views, *ij0.shape) * 0.1)
+
+    def render_one(ij):
+        img, _, _ = render_scene(_dc.replace(buffers, ij=ij), 1.0, aa_edge_capacity=cap)
+        return img
+
+    obs = jax.vmap(render_one)(ij_batch) + 0.03
+    params = dict(texture=buffers.texture, uv=buffers.uv, shade=buffers.shade)
+
+    mesh = make_device_mesh(n_views=n_views, n_tiles=1)
+    step = make_textured_multiview_step(buffers, 1.0, mesh, lr=lr, aa_edge_capacity=cap)
+    p_sh = params
+    for _ in range(2):
+        p_sh, loss_sh = step(p_sh, ij_batch, obs)
+
+    def total_loss(p):
+        def one(ij, o):
+            b = _dc.replace(buffers, ij=ij, texture=p["texture"], uv=p["uv"], shade=p["shade"])
+            img, _, _ = render_scene(b, 1.0, aa_edge_capacity=cap)
+            return jnp.sum((img - o) ** 2)
+
+        return sum(one(ij_batch[i], obs[i]) for i in range(n_views))
+
+    p_seq = params
+    for _ in range(2):
+        loss_seq, g = jax.value_and_grad(total_loss)(p_seq)
+        p_seq = jax.tree.map(lambda p, gg: p - lr * gg, p_seq, g)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_seq), rtol=1e-9)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p_sh[k]), np.asarray(p_seq[k]), rtol=1e-9, atol=1e-12, err_msg=k
+        )
